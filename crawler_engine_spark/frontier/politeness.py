@@ -1,0 +1,124 @@
+"""Per-host politeness scheduler: robots filtering + budgeted batch selection.
+
+Realizes the reference's global rate limits (requests_per_second=2.0,
+delay_between_requests=0.5 s, models/config.py:158-161) as a *per-host
+per-round budget* — the distributed analog of its asyncio semaphores
+(core/extractor.py:290-296) — plus robots.txt handling the reference lacks
+(north-rule requirement).
+
+Skew handling (explicit, per north rule): host popularity is Zipf-skewed, so
+a single window over ``host`` would straggle on hot hosts.  Selection is
+two-phase salted:
+
+  phase 1  window over (host, salt = pmod(url_hash, S)): row_number ≤ budget
+           — each hot host's ranking work spreads over S reducers; survivors
+           are ≤ S × budget per host.
+  phase 2  window over host on the ≤ S×budget survivors: row_number ≤ budget
+           — exact top-k per host, tiny input.
+
+The selected set is *identical* to a single-phase top-k (phase 1 never drops
+a row that phase 2 would keep: a row in the host's true top-budget is within
+its salt's top-budget a fortiori), so ordering parity with the oracle
+simulator is preserved while the shuffle skew is bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_REQUESTS_PER_SECOND = 2.0  # models/config.py:159
+DEFAULT_CRAWL_DELAY_S = 0.5        # models/config.py:161
+DEFAULT_ROUND_SECONDS = 10.0
+DEFAULT_NUM_SALTS = 8
+
+PRIORITY_COLS = ["depth", "parent_seq", "link_position"]
+
+
+def host_budget_col(crawl_delay: F.Column, round_seconds: float) -> F.Column:
+    """requests allowed per host per round: floor(round_seconds / delay), ≥ 1."""
+    return F.greatest(
+        F.lit(1), F.floor(F.lit(round_seconds) / F.greatest(crawl_delay, F.lit(1e-9)))
+    ).cast("int")
+
+
+def apply_robots(
+    frontier: DataFrame, robots: DataFrame, round_seconds: float = DEFAULT_ROUND_SECONDS
+) -> DataFrame:
+    """Broadcast-join robots rules; adds ``allowed`` and ``host_budget``.
+
+    ``robots`` columns: host, disallow_prefixes array<string>, crawl_delay_s.
+    Hosts with no rule row default to allowed with the reference delay.
+    """
+    joined = frontier.join(F.broadcast(robots), on="host", how="left")
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: F.col("path").startswith(p),
+    )
+    delay = F.coalesce(F.col("crawl_delay_s"), F.lit(DEFAULT_CRAWL_DELAY_S))
+    return (
+        joined.withColumn("allowed", ~disallowed)
+        .withColumn("host_budget", host_budget_col(delay, round_seconds))
+        .drop("disallow_prefixes", "crawl_delay_s")
+    )
+
+
+def select_batch(
+    frontier: DataFrame, num_salts: int = DEFAULT_NUM_SALTS
+) -> tuple[DataFrame, DataFrame]:
+    """Priority-ordered per-host batch selection (salted two-phase window).
+
+    Input must carry: host, host_budget, url_hash, and PRIORITY_COLS.
+    Returns ``(selected, remainder)`` — remainder stays in the frontier.
+    """
+    order = [F.col(c).asc() for c in PRIORITY_COLS] + [F.col("url_hash").asc()]
+
+    salted = frontier.withColumn(
+        "_salt", F.pmod(F.col("url_hash"), F.lit(num_salts)).cast("int")
+    )
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    phase1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= F.col("host_budget"))
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = phase1.withColumn("_r2", F.row_number().over(w2))
+    selected = ranked.where(F.col("_r2") <= F.col("host_budget")).drop("_r2", "_salt")
+
+    remainder = frontier.join(
+        selected.select("canonical_url"), on="canonical_url", how="left_anti"
+    )
+    return selected, remainder
+
+
+def global_fetch_sequence(selected: DataFrame, offset: int = 0) -> DataFrame:
+    """Assign a deterministic global ``fetch_seq`` by total priority order
+    WITHOUT a single-partition window: range-repartition by the sort key,
+    per-partition row_number, then add per-partition offsets (computed from
+    a tiny count-per-partition collect).
+    """
+    order_cols = PRIORITY_COLS + ["url_hash"]
+    n_part = max(selected.sparkSession.sparkContext.defaultParallelism, 1)
+    arranged = (
+        selected.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    arranged = arranged.cache()
+    counts = {r["_pid"]: r["count"] for r in arranged.groupBy("_pid").count().collect()}
+    offsets, acc = {}, offset
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    offset_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    return (
+        arranged.withColumn(
+            "fetch_seq",
+            (F.row_number().over(w) - 1 + offset_map[F.col("_pid")]).cast("long"),
+        )
+        .drop("_pid")
+    )

@@ -1,0 +1,372 @@
+"""The crawl-round engine: iterative DataFrame pipelines with exact resume.
+
+One crawl round is one DataFrame pipeline (north rule):
+
+    frontier ─ robots broadcast-join ─ salted politeness windows ─
+    fetch-simulate join against the page store ─ extraction mapInPandas ─
+    (results sink, exploded out-links → canonicalize → bloom membership →
+     exact anti-join → next frontier)
+
+State is checkpointed per round under ``state_dir/rounds/round=K/`` —
+frontier, results, fetched-order log, seen-set delta, bloom segments, and
+per-partition lineage metrics — committed atomically by writing a ``_COMMIT``
+marker last.  Resume = continue from the highest committed round; an
+interrupted round leaves no marker and is recomputed idempotently
+(overwrite-by-round-id).
+
+Scale notes (10^10-URL design point):
+* The seen set is append-only per-round deltas — no cumulative rewrite.
+* The exact anti-join only processes candidates the bloom flags
+  ``maybe_seen`` (no false negatives ⇒ bloom-miss rows are provably new).
+* Politeness selection is salted two-phase (politeness.py) — hot hosts never
+  serialize onto one reducer.
+* ``fetch_seq`` assignment is a distributed ranked sequence (no global
+  single-partition window).
+
+The crawl ordering is deterministic: priority = (depth, parent_seq,
+link_position) — seeds order by seed_rank, discovered links inherit their
+parent's global fetch sequence and in-document link position (document order,
+utils/web_utils.py:87), reproducing the reference's FIFO batch semantics
+(core/batch_processor.py:103-113) under a politeness budget.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernels.extract import DEFAULT_OPTIONS, ExtractOptions
+from ..operators import urlops
+from ..operators.extraction import extract_pages
+from . import politeness
+from .bloom import BloomSeenSet
+
+FRONTIER_SCHEMA = (
+    "canonical_url string, url_hash long, host string, path string, "
+    "depth int, parent_seq long, link_position int, query string"
+)
+
+
+@dataclass
+class CrawlConfig:
+    round_seconds: float = politeness.DEFAULT_ROUND_SECONDS
+    num_salts: int = politeness.DEFAULT_NUM_SALTS
+    bloom_partitions: int = 32
+    bloom_bits_per_segment: int = 1 << 20
+    mode: Optional[str] = None  # None → adaptive (reference dispatch)
+    extract_opts: ExtractOptions = DEFAULT_OPTIONS
+    max_rounds: int = 100
+
+
+class CrawlEngine:
+    """Round-based distributed crawler over a static page store
+    (fetch-simulate: ``page.goto(url)`` becomes a join against the Iceberg/
+    parquet pages table, browser_manager.py:403-412)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        state_dir: str,
+        pages_path: str,
+        robots: DataFrame,
+        config: CrawlConfig = CrawlConfig(),
+    ) -> None:
+        self.spark = spark
+        self.state_dir = state_dir
+        self.pages_path = pages_path
+        self.robots = robots
+        self.cfg = config
+        self.bloom = BloomSeenSet(
+            num_partitions=config.bloom_partitions,
+            bits_per_segment=config.bloom_bits_per_segment,
+        )
+
+    # ------------------------------------------------------------- layout
+    def _round_dir(self, k: int) -> str:
+        return os.path.join(self.state_dir, "rounds", f"round={k}")
+
+    def _commit_path(self, k: int) -> str:
+        return os.path.join(self._round_dir(k), "_COMMIT")
+
+    def committed_rounds(self) -> List[int]:
+        root = os.path.join(self.state_dir, "rounds")
+        if not os.path.isdir(root):
+            return []
+        out = []
+        for name in os.listdir(root):
+            if name.startswith("round="):
+                k = int(name.split("=")[1])
+                if os.path.exists(self._commit_path(k)):
+                    out.append(k)
+        return sorted(out)
+
+    def last_committed(self) -> int:
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else -1
+
+    def _read_commit(self, k: int) -> dict:
+        with open(self._commit_path(k)) as f:
+            return json.load(f)
+
+    # -------------------------------------------------------------- seeds
+    def init_from_seeds(self, seeds: DataFrame) -> None:
+        """Round 0: seed frontier.  ``seeds`` columns: url, seed_rank, query.
+        Seeds order by seed_rank → priority (0, -1, seed_rank)."""
+        canon = urlops.canonical_url_col(F.col("url"))
+        frontier = (
+            seeds.select(
+                canon.alias("canonical_url"),
+                F.col("seed_rank"),
+                F.col("query"),
+            )
+            .where(urlops.is_valid_url_col(F.col("canonical_url")))
+            .withColumn("url_hash", urlops.url_hash_col(F.col("canonical_url")))
+            .withColumn("host", urlops.host_col(F.col("canonical_url")))
+            .withColumn("path", urlops.path_col(F.col("canonical_url")))
+            .withColumn("depth", F.lit(0))
+            .withColumn("parent_seq", F.lit(-1).cast("long"))
+            .withColumn("link_position", F.col("seed_rank").cast("int"))
+            .drop("seed_rank")
+        )
+        rd = self._round_dir(0)
+        if os.path.isdir(rd):
+            shutil.rmtree(rd)
+        frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
+        os.makedirs(os.path.join(rd, "bloom"), exist_ok=True)
+        with open(self._commit_path(0), "w") as f:
+            json.dump({"round": 0, "fetched": 0, "total_fetched": 0}, f)
+
+    # -------------------------------------------------------------- round
+    def _read_frontier(self, k: int) -> DataFrame:
+        return self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+            os.path.join(self._round_dir(k), "frontier")
+        )
+
+    def _read_seen(self, upto_round: int) -> Optional[DataFrame]:
+        paths = [
+            os.path.join(self._round_dir(k), "seen_delta")
+            for k in self.committed_rounds()
+            if 0 < k <= upto_round and os.path.isdir(os.path.join(self._round_dir(k), "seen_delta"))
+        ]
+        if not paths:
+            return None
+        return self.spark.read.parquet(*paths)
+
+    def run_round(self, k: int) -> Optional[dict]:
+        """Execute round ``k`` (requires round ``k-1`` committed).
+        Returns the commit record, or None if the frontier is exhausted."""
+        prev = self._read_commit(k - 1)
+        frontier = self._read_frontier(k - 1)
+        if frontier.limit(1).count() == 0:
+            return None
+
+        rd = self._round_dir(k)
+        if os.path.isdir(rd):  # uncommitted leftovers from a crash
+            shutil.rmtree(rd)
+        os.makedirs(rd, exist_ok=True)
+
+        # 1. robots gate (broadcast join, J3)
+        gated = politeness.apply_robots(frontier, self.robots, self.cfg.round_seconds)
+        blocked = gated.where(~F.col("allowed")).select(*frontier.columns)
+        eligible = gated.where(F.col("allowed"))
+
+        # 2. politeness batch selection (salted two-phase window, W5)
+        selected, remainder = politeness.select_batch(eligible, self.cfg.num_salts)
+        selected = politeness.global_fetch_sequence(
+            selected, offset=int(prev["total_fetched"])
+        ).cache()
+
+        # 3. fetch-simulate (J2): left join against the page store
+        pages = self.spark.read.parquet(self.pages_path).select("url", "html")
+        batch = selected.join(
+            pages, selected.canonical_url == pages.url, how="left"
+        ).drop("url")
+        batch = batch.withColumn(
+            "fetch_status", F.when(F.col("html").isNotNull(), "ok").otherwise("miss")
+        ).cache()
+
+        # 4. extraction (vectorized kernel) over successfully "fetched" pages
+        to_extract = batch.where(F.col("fetch_status") == "ok").select(
+            F.col("canonical_url").alias("url"), "html", "query", "fetch_seq", "depth"
+        )
+        results = extract_pages(
+            to_extract.withColumn("mode", F.lit(self.cfg.mode).cast("string")),
+            opts=self.cfg.extract_opts,
+        )
+        # re-attach lineage columns lost through the kernel's column pruning
+        lineage = to_extract.select("url", "fetch_seq", "depth")
+        results = results.join(lineage, on="url", how="left")
+        results.write.mode("overwrite").parquet(os.path.join(rd, "results"))
+        results = self.spark.read.parquet(os.path.join(rd, "results"))
+
+        # 5. discovered links → candidates (explode, canonicalize, prioritize)
+        exploded = results.select(
+            "fetch_seq",
+            "depth",
+            F.posexplode("out_links").alias("link_position", "raw_url"),
+        )
+        cand = (
+            exploded.withColumn("canonical_url", urlops.canonical_url_col(F.col("raw_url")))
+            .where(urlops.is_valid_url_col(F.col("canonical_url")))
+            .where(F.col("canonical_url").rlike("^https?://"))
+            .select(
+                "canonical_url",
+                (F.col("depth") + 1).alias("depth"),
+                F.col("fetch_seq").alias("parent_seq"),
+                F.col("link_position").cast("int"),
+            )
+        )
+        # in-round dedup: keep the minimum priority per canonical URL
+        cand = (
+            cand.groupBy("canonical_url")
+            .agg(
+                F.min(F.struct("depth", "parent_seq", "link_position")).alias("p")
+            )
+            .select(
+                "canonical_url",
+                F.col("p.depth").alias("depth"),
+                F.col("p.parent_seq").alias("parent_seq"),
+                F.col("p.link_position").alias("link_position"),
+            )
+            .withColumn("url_hash", urlops.url_hash_col(F.col("canonical_url")))
+            .withColumn("host", urlops.host_col(F.col("canonical_url")))
+            .withColumn("path", urlops.path_col(F.col("canonical_url")))
+            .withColumn("query", F.lit(None).cast("string"))
+        )
+
+        # 6. novelty: bloom pre-filter, exact anti-join only on maybe_seen (J1)
+        prev_bloom = os.path.join(self._round_dir(k - 1), "bloom")
+        flagged = self.bloom.flag_maybe_seen(cand, prev_bloom).cache()
+        definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+        seen = self._read_seen(k - 1)
+        if seen is not None:
+            maybe = maybe.join(
+                seen.select("canonical_url"), on="canonical_url", how="left_anti"
+            )
+        survivors = definitely_new.unionByName(maybe)
+        # exclude URLs fetched this round and URLs still waiting in the frontier
+        survivors = survivors.join(
+            selected.select("canonical_url"), on="canonical_url", how="left_anti"
+        ).join(
+            remainder.select("canonical_url"), on="canonical_url", how="left_anti"
+        ).join(
+            blocked.select("canonical_url"), on="canonical_url", how="left_anti"
+        )
+
+        # 7. next frontier = politeness remainder ∪ new discoveries
+        cols = [c.split()[0] for c in FRONTIER_SCHEMA.split(", ")]
+        next_frontier = remainder.select(*cols).unionByName(survivors.select(*cols))
+        next_frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
+
+        # 8. seen delta: everything attempted this round + robots-blocked
+        seen_delta = (
+            batch.select(
+                "canonical_url",
+                "url_hash",
+                "host",
+                "fetch_seq",
+                F.col("fetch_status"),
+                F.lit(k).alias("round"),
+                F.lit(True).alias("was_new"),
+            )
+            .unionByName(
+                blocked.select(
+                    "canonical_url",
+                    "url_hash",
+                    "host",
+                    F.lit(None).cast("long").alias("fetch_seq"),
+                    F.lit("robots_blocked").alias("fetch_status"),
+                    F.lit(k).alias("round"),
+                    F.lit(True).alias("was_new"),
+                )
+            )
+        )
+        seen_delta.write.mode("overwrite").parquet(os.path.join(rd, "seen_delta"))
+        seen_delta = self.spark.read.parquet(os.path.join(rd, "seen_delta"))
+
+        # 9. bloom segments for round k (executor-side, one file per task)
+        self.bloom.update(
+            seen_delta.select("canonical_url", "url_hash"),
+            prev_dir=prev_bloom,
+            out_dir=os.path.join(rd, "bloom"),
+        )
+
+        # 10. fetched-order log (golden_crawl comparison surface)
+        batch.select(
+            F.lit(k).alias("round"), "fetch_seq", "canonical_url", "host",
+            "fetch_status", "depth",
+        ).write.mode("overwrite").parquet(os.path.join(rd, "fetched"))
+
+        # 11. per-partition lineage metrics (A8 / north-rule requirement)
+        metrics = (
+            results.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("pages_extracted"),
+                F.sum(F.length("content")).alias("content_chars"),
+                F.sum(F.size("out_links")).alias("links_found"),
+                F.avg("confidence_score").alias("avg_confidence"),
+            )
+            .withColumn("round", F.lit(k))
+        )
+        metrics.write.mode("overwrite").parquet(os.path.join(rd, "metrics"))
+
+        n_fetched = batch.count()
+        record = {
+            "round": k,
+            "fetched": n_fetched,
+            "blocked": blocked.count(),
+            "new_urls": survivors.count(),
+            "frontier_size": next_frontier.count(),
+            "total_fetched": int(prev["total_fetched"]) + n_fetched,
+        }
+        selected.unpersist()
+        batch.unpersist()
+        flagged.unpersist()
+        # 12. atomic commit marker — written LAST
+        with open(self._commit_path(k), "w") as f:
+            json.dump(record, f)
+        return record
+
+    # ---------------------------------------------------------------- run
+    def run(self, max_rounds: Optional[int] = None) -> List[dict]:
+        """Run rounds until the frontier is exhausted (or max_rounds),
+        resuming after the last committed round."""
+        limit = max_rounds if max_rounds is not None else self.cfg.max_rounds
+        records = []
+        k = self.last_committed() + 1
+        if k == 0:
+            raise RuntimeError("call init_from_seeds() first")
+        while len(records) < limit:
+            rec = self.run_round(k)
+            if rec is None:
+                break
+            records.append(rec)
+            k += 1
+        return records
+
+    # ------------------------------------------------------------ readers
+    def fetched_log(self) -> DataFrame:
+        paths = [
+            os.path.join(self._round_dir(k), "fetched")
+            for k in self.committed_rounds()
+            if k > 0
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def results(self) -> DataFrame:
+        paths = [
+            os.path.join(self._round_dir(k), "results")
+            for k in self.committed_rounds()
+            if k > 0
+        ]
+        return self.spark.read.parquet(*paths)
+
+    def seen(self) -> Optional[DataFrame]:
+        return self._read_seen(self.last_committed())

@@ -1,0 +1,189 @@
+"""Frontier semantics tests: the distributed engine must reproduce the
+pure-Python oracle simulator's crawl ordering and final URL-seen set exactly
+(BASELINE.json: "matching the reference's crawl ordering and URL-seen set
+under the same seed list + politeness budget"), and resume from a killed
+round without divergence."""
+
+import os
+import shutil
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_engine_spark.data import gen
+from crawler_engine_spark.frontier.rounds import CrawlConfig, CrawlEngine
+from crawler_engine_spark.frontier.simulator import SimRobots, simulate_crawl
+
+N_DOCS = 150
+ROUND_SECONDS = 3.0  # small budgets → multi-round crawls
+
+
+@pytest.fixture(scope="module")
+def world(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("crawl_world")
+    pages_path = str(root / "pages")
+    gen.gen_pages_df(spark, N_DOCS, partitions=4).write.mode("overwrite").parquet(pages_path)
+    seeds = gen.gen_seeds(N_DOCS, n_seeds=6)
+    robots_rows = gen.gen_robots()
+    robots_df = spark.createDataFrame(
+        pd.DataFrame(robots_rows),
+        "host string, disallow_prefixes array<string>, crawl_delay_s double",
+    )
+    sim_robots = SimRobots(
+        disallow_prefixes={r["host"]: r["disallow_prefixes"] for r in robots_rows},
+        crawl_delay_s={r["host"]: r["crawl_delay_s"] for r in robots_rows},
+    )
+    pages_dict = {
+        gen.url_of(i): gen.html_of(i, N_DOCS).encode() for i in range(N_DOCS)
+    }
+    return {
+        "root": str(root),
+        "pages_path": pages_path,
+        "seeds": seeds,
+        "robots_df": robots_df,
+        "sim_robots": sim_robots,
+        "pages_dict": pages_dict,
+    }
+
+
+def _make_engine(spark, world, state_name):
+    state = os.path.join(world["root"], state_name)
+    if os.path.isdir(state):
+        shutil.rmtree(state)
+    eng = CrawlEngine(
+        spark,
+        state_dir=state,
+        pages_path=world["pages_path"],
+        robots=world["robots_df"],
+        config=CrawlConfig(round_seconds=ROUND_SECONDS, bloom_partitions=8,
+                           bloom_bits_per_segment=1 << 16),
+    )
+    seeds_df = spark.createDataFrame(
+        pd.DataFrame(world["seeds"]), "url string, seed_rank int, query string"
+    )
+    eng.init_from_seeds(seeds_df)
+    return eng
+
+
+@pytest.fixture(scope="module")
+def oracle(world):
+    return simulate_crawl(
+        world["seeds"], world["pages_dict"], world["sim_robots"],
+        round_seconds=ROUND_SECONDS, max_rounds=4,
+    )
+
+
+@pytest.fixture(scope="module")
+def engine_run(spark, world):
+    eng = _make_engine(spark, world, "state_main")
+    records = eng.run(max_rounds=4)
+    return eng, records
+
+
+def test_crawl_ordering_matches_oracle(spark, world, oracle, engine_run):
+    sim_log, _ = oracle
+    eng, records = engine_run
+    got = (
+        eng.fetched_log()
+        .orderBy("round", "fetch_seq")
+        .select("round", "fetch_seq", "canonical_url", "fetch_status")
+        .collect()
+    )
+    expected = [(f.round, f.fetch_seq, f.url, f.status) for f in sim_log]
+    actual = [(r["round"], r["fetch_seq"], r["canonical_url"], r["fetch_status"]) for r in got]
+    assert actual == expected
+
+
+def test_final_seen_set_matches_oracle(spark, world, oracle, engine_run):
+    _, sim_seen = oracle
+    eng, _ = engine_run
+    got = {r["canonical_url"] for r in eng.seen().select("canonical_url").collect()}
+    assert got == sim_seen
+
+
+def test_politeness_budget_invariant(spark, world, engine_run):
+    """Per-host fetches per round never exceed the host budget."""
+    eng, _ = engine_run
+    robots = {r["host"]: r["crawl_delay_s"] for r in gen.gen_robots()}
+    counts = (
+        eng.fetched_log()
+        .groupBy("round", "host")
+        .count()
+        .collect()
+    )
+    for row in counts:
+        delay = robots.get(row["host"], 0.5)
+        budget = max(1, int(ROUND_SECONDS // delay))
+        assert row["count"] <= budget, (row["host"], row["round"])
+
+
+def test_no_url_fetched_twice(spark, world, engine_run):
+    eng, _ = engine_run
+    dup = (
+        eng.fetched_log()
+        .groupBy("canonical_url")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0
+
+
+def test_robots_blocked_never_fetched(spark, world, engine_run):
+    eng, _ = engine_run
+    fetched = eng.fetched_log().select("canonical_url", "host").collect()
+    rules = {r["host"]: r["disallow_prefixes"] for r in gen.gen_robots()}
+    from urllib.parse import urlparse
+
+    for row in fetched:
+        path = urlparse(row["canonical_url"]).path
+        for prefix in rules.get(row["host"], []):
+            assert not path.startswith(prefix), row["canonical_url"]
+
+
+def test_resume_exact_state(spark, world, oracle):
+    """Kill after round 2, resume with a fresh engine → identical final log
+    and seen set (exact-resume north-rule requirement)."""
+    sim_log, sim_seen = oracle
+    eng = _make_engine(spark, world, "state_resume")
+    eng.run(max_rounds=2)
+    # simulate a crash: partially-written round 3 directory, no _COMMIT
+    partial = eng._round_dir(3)
+    os.makedirs(os.path.join(partial, "results"), exist_ok=True)
+    with open(os.path.join(partial, "results", "junk.parquet"), "w") as f:
+        f.write("corrupt")
+
+    eng2 = CrawlEngine(
+        spark,
+        state_dir=eng.state_dir,
+        pages_path=world["pages_path"],
+        robots=world["robots_df"],
+        config=CrawlConfig(round_seconds=ROUND_SECONDS, bloom_partitions=8,
+                           bloom_bits_per_segment=1 << 16),
+    )
+    assert eng2.last_committed() == 2
+    eng2.run(max_rounds=2)  # rounds 3 and 4
+
+    got = (
+        eng2.fetched_log()
+        .orderBy("round", "fetch_seq")
+        .select("round", "fetch_seq", "canonical_url")
+        .collect()
+    )
+    expected = [(f.round, f.fetch_seq, f.url) for f in sim_log]
+    assert [(r["round"], r["fetch_seq"], r["canonical_url"]) for r in got] == expected
+    got_seen = {r["canonical_url"] for r in eng2.seen().collect()}
+    assert got_seen == sim_seen
+
+
+def test_bloom_no_false_negatives(spark, world, engine_run):
+    """Everything in the exact seen set must be flagged maybe_seen by the
+    bloom segments (no false negatives — the exactness precondition)."""
+    eng, _ = engine_run
+    last = eng.last_committed()
+    seen = eng.seen().select("canonical_url", "url_hash")
+    flagged = eng.bloom.flag_maybe_seen(
+        seen, os.path.join(eng._round_dir(last), "bloom")
+    )
+    assert flagged.where(~F.col("maybe_seen")).count() == 0
