@@ -1,0 +1,361 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side column expressions (whole-stage codegen) — the
+only Python is the SimHash kernel, which is an Arrow-batched pandas UDF over
+numpy.  Each operator is designed for the 100 TB regime:
+
+* exact        — hash-groupBy on a digest column; one shuffle on the digest.
+* MinHash LSH  — shingle → per-permutation min-hash (array expressions, no
+  explode until banding) → band → bucket join; candidate verification is an
+  exact Jaccard on the (tiny) candidate-pair set only.
+* SimHash      — 64-bit signature via vectorized numpy; near-dup candidates
+  via 16-bit band buckets (Hamming ≤ 3 ⇒ at least one of 4 bands equal).
+* n-gram Jaccard — exact pairwise within a blocking key (array_intersect /
+  array_union sizes).
+* embedding    — cosine near-dup via random-hyperplane sign buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one representative (min id) per exact text digest.
+    One shuffle, map-side partial aggregation."""
+    return (
+        df.withColumn("_digest", F.md5(F.col(text_col)))
+        .groupBy("_digest")
+        .agg(
+            F.min(F.col(id_col)).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .drop("_digest")
+    )
+
+
+def exact_dup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Digest groups with more than one member (the duplicate report)."""
+    return (
+        df.withColumn("digest", F.md5(F.col(text_col)))
+        .groupBy("digest")
+        .agg(F.count("*").alias("dup_count"), F.min(id_col).alias("keep_id"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenization / shingling helpers (pure column expressions)
+# --------------------------------------------------------------------------
+
+
+def tokens_col(text: Column) -> Column:
+    """Lowercased word tokens."""
+    return F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: t != "")
+
+
+def shingles_col(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings (empty array when < n tokens)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(tokens) - n),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", tokens)))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature_col(shingles: Column, num_perm: int = 64) -> Column:
+    """num_perm-wide MinHash signature: per permutation p, the min of
+    xxhash64(shingle, p) over the document's shingles.  Pure JVM expressions."""
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(p))))
+            for p in range(num_perm)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash buckets.
+
+    rows/band r = num_perm/bands; collision prob ≈ 1-(1-J^r)^b.  Returns
+    (id_a, id_b) with id_a < id_b, deduplicated across bands.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        minhash_signature_col(
+            shingles_col(tokens_col(F.col(text_col)), shingle_n), num_perm
+        ).alias("_sig"),
+    )
+    banded = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", *[
+                                F.element_at("_sig", b * r + i + 1).cast("string")
+                                for i in range(r)
+                            ])
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def verify_jaccard(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard on candidate pairs; keeps pairs ≥ threshold."""
+    sets = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            shingles_col(tokens_col(F.col(text_col)), shingle_n)
+        ).alias("_set"),
+    )
+    a = sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_set", "set_a")
+    b = sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_set", "set_b")
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+    jac = F.size(F.array_intersect("set_a", "set_b")) / F.size(
+        F.array_union("set_a", "set_b")
+    )
+    return (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact verify → drop the
+    higher id of each verified pair (transitive closure approximated by
+    single-sweep removal, the standard web-scale practice)."""
+    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    dups = verify_jaccard(cand, df, text_col, id_col, threshold)
+    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(to_drop, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash (vectorized numpy kernel)
+# --------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        toks = [w for w in str(t).lower().split() if w]
+        if not toks:
+            continue
+        hashes = np.array(
+            [
+                int.from_bytes(
+                    __import__("hashlib").blake2b(w.encode(), digest_size=8).digest(),
+                    "little",
+                )
+                for w in toks
+            ],
+            dtype=np.uint64,
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(toks)
+        sig = np.uint64(0)
+        for b in np.nonzero(votes > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(b)
+        out[i] = np.int64(sig.astype(np.int64))
+    return pd.Series(out)
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    for batch in texts:
+        yield _simhash_batch(batch)
+
+
+def simhash_candidates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-dup candidates where Hamming(sig_a, sig_b) ≤ 3: by pigeonhole at
+    least one of the four 16-bit bands is equal — bucket-join on bands."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("_sig"))
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("_sig", 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "_sig", "bb.band", "bb.chunk")
+    l, r = banded.alias("l"), banded.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.chunk") == F.col("r.chunk"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(
+            F.col("l._id").alias("id_a"),
+            F.col("r._id").alias("id_b"),
+            F.bit_count(F.col("l._sig").bitwiseXOR(F.col("r._sig"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= 3)
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard (exact, blocked)
+# --------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-n-gram Jaccard between all pairs sharing a blocking key
+    (e.g. source/host) — the quadratic stays inside blocks."""
+    sets = df.select(
+        F.col(block_col).alias("_block"),
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles_col(tokens_col(F.col(text_col)), n)).alias("_set"),
+    )
+    a, b = sets.alias("a"), sets.alias("b")
+    jac = F.size(F.array_intersect("a._set", "b._set")) / F.size(
+        F.array_union("a._set", "b._set")
+    )
+    return (
+        a.join(b, (F.col("a._block") == F.col("b._block")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup (hyperplane LSH buckets)
+# --------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — pure aggregate expressions."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+    norm = lambda v: F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return dot / (norm(a) * norm(b))
+
+
+def embedding_bucket_col(emb: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-pattern bucket id from fixed random hyperplanes (deterministic)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(emb, F.array(*[F.lit(float(c)) for c in plane]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Cosine near-duplicates: hyperplane-bucket join, exact cosine verify."""
+    withb = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(emb_col).alias("_emb"),
+        embedding_bucket_col(F.col(emb_col), dim, n_planes).alias("_bucket"),
+    )
+    a, b = withb.alias("a"), withb.alias("b")
+    return (
+        a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            cosine_col(F.col("a._emb"), F.col("b._emb")).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.  All pure column expressions (whole-stage codegen);
+designed to run in the same scan as extraction output post-processing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Marker stopwords per language (n-gram-free heuristic: stopword hit ratio).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "des", "est", "un", "une", "dans", "que"],
+}
+
+
+def tokens_lower(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}']+"), lambda t: t != "")
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """Subword-ish token estimate: count of word/number/punct fragments under
+    a BPE-like regex (letters runs, digit runs, single punct)."""
+    frags = F.filter(
+        F.split(text, r"(?<=[\p{L}\p{N}])(?=[^\p{L}\p{N}])|(?<=[^\p{L}\p{N}\s])(?=.)|\s+"),
+        lambda t: t != "",
+    )
+    return F.size(frags)
+
+
+def lang_score_col(text: Column, lang: str) -> Column:
+    """Fraction of tokens that are marker stopwords for ``lang``."""
+    toks = tokens_lower(text)
+    markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
+
+
+def lang_id_col(text: Column) -> Column:
+    """argmax over per-language marker ratios; 'und' when all zero."""
+    scores = {lang: lang_score_col(text, lang) for lang in _LANG_MARKERS}
+    best_lang = F.lit("und")
+    best_score = F.lit(0.0)
+    for lang, score in scores.items():
+        best_lang = F.when(score > best_score, F.lit(lang)).otherwise(best_lang)
+        best_score = F.greatest(best_score, score)
+    return best_lang
+
+
+def quality_score_col(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: length band, punctuation balance,
+    stopword presence, alpha ratio — the usual pretraining-filter features."""
+    n_chars = F.length(text)
+    n_tokens = token_count_col(text)
+    mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    alpha = F.length(F.regexp_replace(text, r"[^\p{L} ]", ""))
+    alpha_ratio = alpha / F.greatest(n_chars, F.lit(1))
+    stop_ratio = lang_score_col(text, "en")
+
+    length_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    word_len_score = F.when((mean_word_len >= 3) & (mean_word_len <= 10), 1.0).otherwise(0.3)
+    punct_score = F.when((punct_ratio > 0.001) & (punct_ratio < 0.2), 1.0).otherwise(0.4)
+    stop_score = F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+    return (
+        length_score * 0.3
+        + word_len_score * 0.2
+        + punct_score * 0.2
+        + stop_score * 0.15
+        + alpha_ratio * 0.15
+    ).cast("double")
+
+
+def fingerprint_col(text: Column) -> Column:
+    """64-bit content fingerprint: first 16 hex chars of md5 as a bigint —
+    stable across engines (DuckDB computes the same)."""
+    return F.conv(F.substring(F.md5(text), 1, 15), 16, 10).cast("long")
+
+
+def char_ngram_fingerprints_col(text: Column, n: int = 8, stride: int = 64) -> Column:
+    """Strided character-n-gram rolling fingerprints (winnowing-style
+    sketch): hash of each n-char window starting at multiples of stride."""
+    return F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.length(text) - n + 1, F.lit(1)),
+            F.lit(stride),
+        ),
+        lambda i: F.xxhash64(text.substr(i, F.lit(n))),
+    )

@@ -1,0 +1,232 @@
+"""Tests for the training-data pipeline operators (dedup / similarity /
+textstats / multimodal) over the driver-provided documents & embeddings
+tables plus synthetic fixtures."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_engine_spark.operators import dedup, multimodal, similarity, textstats
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# ------------------------------------------------------------------- dedup
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": ["a", "b", "a", "a"]})
+    )
+    kept = dedup.exact_dedup(df, "text", "doc_id").collect()
+    assert sorted((r["doc_id"], r["dup_count"]) for r in kept) == [(1, 3), (2, 1)]
+    groups = dedup.exact_dup_groups(df, "text", "doc_id").collect()
+    assert len(groups) == 1 and groups[0]["dup_count"] == 3
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "through fields of green grass under a bright blue summer sky today"
+    )
+    near = base.replace("bright blue", "dark grey")  # high jaccard
+    other = "completely different content about spark shuffle partitions and joins in distributed systems everywhere"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    )
+    # r = num_perm/bands = 2 → band-collision prob ≈ 1-(1-J²)³² ≈ 1 at J=0.7
+    pairs = dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=64, bands=32)
+    verified = dedup.verify_jaccard(pairs, df, "text", "doc_id", threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in verified] == [(1, 2)]
+    deduped = dedup.minhash_dedup(df, "text", "doc_id", threshold=0.5, num_perm=64, bands=32)
+    assert sorted(r["doc_id"] for r in deduped.collect()) == [1, 3]
+
+
+def test_minhash_jaccard_estimate_accuracy(spark):
+    """MinHash signature agreement should approximate true Jaccard."""
+    a = " ".join(f"w{i}" for i in range(100))
+    b = " ".join(f"w{i}" for i in range(50, 150))  # ~1/3 jaccard of shingle sets
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1, 2], "text": [a, b]}))
+    sig = df.select(
+        "doc_id",
+        dedup.minhash_signature_col(
+            dedup.shingles_col(dedup.tokens_col(F.col("text")), 3), 128
+        ).alias("sig"),
+    ).collect()
+    s1, s2 = (dict((r["doc_id"], r["sig"]) for r in sig)[i] for i in (1, 2))
+    est = sum(x == y for x, y in zip(s1, s2)) / 128
+    # true shingle jaccard: windows 0..97 vs 50..147 → overlap 48, union 148
+    true = 48 / 148
+    assert abs(est - true) < 0.15
+
+
+def test_simhash_near_duplicates(spark):
+    base = " ".join(f"token{i}" for i in range(200))
+    near = base.replace("token5 ", "tokenX ")
+    other = " ".join(f"different{i}" for i in range(200))
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    )
+    pairs = dedup.simhash_candidates(df, "text", "doc_id").collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["hamming"] <= 3
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    df = docs.limit(40)
+    pairs = dedup.ngram_jaccard_pairs(df, "text", "doc_id", "source", n=2, threshold=0.05)
+    for r in pairs.collect():
+        assert 0.05 <= r["jaccard"] <= 1.0
+
+
+def test_embedding_near_dup(spark):
+    v = [1.0, 0.0, 0.5, 0.2]
+    rows = [
+        (1, v),
+        (2, [x * 1.001 + 0.001 for x in v]),      # ~identical direction
+        (3, [-1.0, 0.2, -0.5, 0.1]),               # far
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = dedup.embedding_near_dup_pairs(df, "embedding", "vec_id", dim=4, threshold=0.99)
+    assert [(r["id_a"], r["id_b"]) for r in got.collect()] == [(1, 2)]
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_cosine_topk_brute_matches_numpy(spark, embs):
+    sample = embs.limit(200).collect()
+    query = sample[0]["embedding"]
+    got = similarity.cosine_topk_brute(embs.limit(200), "embedding", "vec_id", query, k=5).collect()
+    mat = np.array([r["embedding"] for r in sample])
+    ids = np.array([r["vec_id"] for r in sample])
+    q = np.array(query)
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-cos, ids))[:5]
+    expected = [int(i) for _, i in order]
+    assert [r["vec_id"] for r in got] == expected
+    assert got[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cosine_topk_lsh_recall_clustered(spark):
+    """On clustered data (where ANN is meaningful) LSH top-k must recover the
+    true cluster neighbors; on near-orthogonal data only the exact query hit
+    is guaranteed (tested below)."""
+    rng = np.random.RandomState(7)
+    centers = rng.randn(3, 16) * 4
+    rows = []
+    for i in range(300):
+        c = centers[i % 3]
+        rows.append((i, (c + rng.randn(16) * 0.05).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    query = rows[0][1]
+    brute = {r["vec_id"] for r in similarity.cosine_topk_brute(df, "embedding", "vec_id", query, 5).collect()}
+    ann_rows = similarity.cosine_topk_lsh(df, "embedding", "vec_id", query, 5, multiprobe_bits=1).collect()
+    ann = {r["vec_id"] for r in ann_rows}
+    assert len(ann & brute) >= 4
+    assert ann_rows[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cosine_topk_lsh_finds_query_on_real_embeddings(spark, embs):
+    df = embs.limit(300).cache()
+    query = df.first()["embedding"]
+    ann_rows = similarity.cosine_topk_lsh(df, "embedding", "vec_id", query, 5, multiprobe_bits=2).collect()
+    assert ann_rows[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    assert ann_rows[0]["vec_id"] == df.first()["vec_id"]
+
+
+def test_cosine_topk_ivf(spark, embs):
+    df = embs.limit(300).cache()
+    query = df.first()["embedding"]
+    centroids = similarity.build_ivf_centroids(df, "embedding", n_cells=8, sample=128)
+    got = similarity.cosine_topk_ivf(df, "embedding", "vec_id", query, centroids, k=5, n_probe=4)
+    rows = got.collect()
+    assert len(rows) == 5
+    assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+# --------------------------------------------------------------- textstats
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": ["one two  three", "", "   ", "single"]})
+    )
+    got = [r["n"] for r in df.select(textstats.token_count_col(F.col("t")).alias("n")).collect()]
+    assert got == [3, 0, 0, 1]
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "t": [
+                    "the cat sat on the mat and the dog is in the house",
+                    "der hund ist nicht in der schule und das ist gut",
+                    "le chat est dans la maison et les enfants sont dans le jardin",
+                    "zzz qqq xxx",
+                ]
+            }
+        )
+    )
+    got = [r["l"] for r in df.select(textstats.lang_id_col(F.col("t")).alias("l")).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_ranges(spark, docs):
+    got = docs.select(textstats.quality_score_col(F.col("text")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in got)
+
+
+def test_fingerprint_stable_and_md5_compatible(spark):
+    import duckdb
+
+    df = spark.createDataFrame(pd.DataFrame({"t": ["hello world", "abc"]}))
+    got = {r["t"]: r["fp"] for r in df.select("t", textstats.fingerprint_col(F.col("t")).alias("fp")).collect()}
+    for t, fp in got.items():
+        expected = int(
+            duckdb.sql(f"select md5('{t}')").fetchone()[0][:15], 16
+        )
+        assert fp == expected
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def test_media_feature_plumbing(spark):
+    media = multimodal.gen_media_df(spark, 30, partitions=2)
+    feats = multimodal.extract_media_features(media, fake_decode=True)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r["decode_status"] == "ok"
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["payload_bytes"] > 0
+    # determinism: same payload → same feature
+    again = {r["media_id"]: r["feature"] for r in multimodal.extract_media_features(media, True).collect()}
+    first = {r["media_id"]: r["feature"] for r in rows}
+    assert again == first
+
+
+def test_media_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", "image", fake=False)
+
+
+def test_media_features_no_shuffle(spark):
+    media = multimodal.gen_media_df(spark, 10, partitions=2)
+    plan = multimodal.extract_media_features(media)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
