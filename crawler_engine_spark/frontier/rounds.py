@@ -162,9 +162,11 @@ class CrawlEngine:
         """Execute round ``k`` (requires round ``k-1`` committed).
         Returns the commit record, or None if the frontier is exhausted."""
         prev = self._read_commit(k - 1)
-        frontier = self._read_frontier(k - 1)
-        if frontier.limit(1).count() == 0:
+        # Emptiness check comes free from the previous round's commit record
+        # (round 0 always has seeds).
+        if prev.get("frontier_size") == 0:
             return None
+        frontier = self._read_frontier(k - 1)
 
         rd = self._round_dir(k)
         if os.path.isdir(rd):  # uncommitted leftovers from a crash

@@ -105,12 +105,14 @@ def minhash_lsh_candidates(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
+    # Materialize the shingle array in its own projection first: the
+    # signature references it num_perm times, and inlining the shingle
+    # expression would make Catalyst recompute tokenization per permutation
+    # (measured 60x slowdown).
     sig = df.select(
         F.col(id_col).alias("_id"),
-        minhash_signature_col(
-            shingles_col(tokens_col(F.col(text_col)), shingle_n), num_perm
-        ).alias("_sig"),
-    )
+        shingles_col(tokens_col(F.col(text_col)), shingle_n).alias("_sh"),
+    ).select("_id", minhash_signature_col(F.col("_sh"), num_perm).alias("_sig"))
     banded = sig.select(
         "_id",
         F.explode(
