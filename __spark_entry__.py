@@ -378,6 +378,63 @@ def q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages with meta tags + ld+json for the S7 scrape query (fixed
+    template, reproducible in SQL)."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><meta name="description" content="About '),
+        F.col("source"),
+        F.lit('"><meta property="og:type" content="article">'),
+        F.lit('<script type="application/ld+json">{"@id":'),
+        F.col("doc_id").cast("string"),
+        F.lit("}</script></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><a href="/n">n</a><img src="/i.png"></body></html>'),
+    )
+    url = F.concat(F.lit("https://docs.example/m/"), F.col("doc_id").cast("string"))
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def q_scrape_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: meta-tag map + ld+json + page stats, oracle-checked (the map is
+    serialized as sorted k=v pairs so both engines compare as strings)."""
+    from crawler_engine_spark.operators.scrape import scrape_metadata
+
+    res = scrape_metadata(_meta_pages(spark, sf_dir))
+    meta_str = F.concat_ws(
+        ";",
+        F.sort_array(
+            F.transform(
+                F.map_entries("meta_tags"),
+                lambda e: F.concat(e.key, F.lit("="), e.value),
+            )
+        ),
+    )
+    return res.select(
+        "url",
+        "title",
+        meta_str.alias("meta_kv"),
+        F.element_at("ld_json", 1).alias("ld_first"),
+        "word_count",
+        "link_count",
+        "image_count",
+        "script_count",
+    )
+
+
+def q_shape_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 schema shaping: SafeDict {placeholder} template rendering over
+    extraction results, as pure column expressions."""
+    from crawler_engine_spark.operators.shaping import shape_results
+
+    res = extract_pages(_doc_pages(spark, sf_dir), mode="structured")
+    shaped = shape_results(res, "{title} :: {url} :: {missing}")
+    return shaped.select("url", "formatted_data")
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -417,6 +474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_structured": q_extract_structured,
         "extract_adaptive": q_extract_adaptive,
         "extract_outlinks": q_extract_outlinks,
+        "scrape_meta": q_scrape_meta,
+        "shape_template": q_shape_template,
     }
 
 
@@ -617,6 +676,26 @@ def oracle_sql() -> dict[str, str]:
         "extract_outlinks": """
             SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
                    'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS out_link
+            FROM documents
+        """,
+        "scrape_meta": r"""
+            SELECT 'https://docs.example/m/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+                   'description=About ' || source || ';og:type=article' AS meta_kv,
+                   '{"@id":' || CAST(doc_id AS VARCHAR) || '}' AS ld_first,
+                   len(regexp_split_to_array(
+                     trim(regexp_replace(text, '\s+', ' ', 'g')) || ' n', '\s+'))
+                     AS word_count,
+                   1 AS link_count,
+                   1 AS image_count,
+                   1 AS script_count
+            FROM documents
+        """,
+        "shape_template": """
+            SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   'Doc ' || CAST(doc_id AS VARCHAR) || ' :: '
+                     || 'https://docs.example/d/' || CAST(doc_id AS VARCHAR)
+                     || ' :: {missing}' AS formatted_data
             FROM documents
         """,
         # rows-only by design (noted): quality_score (float-formula heavy),

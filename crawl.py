@@ -1,0 +1,160 @@
+"""spark-submit entrypoint mirroring the reference CLI surface
+(cli.py:31-376: extract / batch / doctor → here extract / crawl / scrape /
+doctor over page stores).
+
+Usage (local or cluster):
+  spark-submit --py-files <(zip of crawler_engine_spark) crawl.py extract \
+      --pages /data/pages --out /data/results --mode adaptive --query "..."
+  python crawl.py crawl --pages ... --seeds seeds.csv --state /data/state --rounds 5
+  python crawl.py doctor
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crawler_engine_spark.config import EngineConfig
+from crawler_engine_spark.session import get_spark
+
+
+def cmd_extract(args) -> None:
+    from crawler_engine_spark.operators.extraction import extract_pages
+    from crawler_engine_spark.operators.shaping import shape_results
+    from crawler_engine_spark.sources.sinks import read_pages, write_results
+
+    cfg = EngineConfig.from_env()
+    spark = get_spark("crawl-extract")
+    pages = read_pages(spark, args.pages)
+    results = extract_pages(
+        pages, mode=args.mode or cfg.mode, query=args.query, opts=cfg.extract_opts
+    )
+    if args.schema_template:
+        results = shape_results(results, args.schema_template)
+    write_results(results, args.out, fmt=args.format)
+    n = spark.read.format("text" if args.format != "parquet" else "parquet").load(args.out).count()
+    print(json.dumps({"command": "extract", "rows": n, "out": args.out}))
+    spark.stop()
+
+
+def cmd_scrape(args) -> None:
+    from crawler_engine_spark.operators.scrape import scrape_metadata
+    from crawler_engine_spark.sources.sinks import read_pages
+
+    spark = get_spark("crawl-scrape")
+    scrape_metadata(read_pages(spark, args.pages)).write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"command": "scrape", "out": args.out}))
+    spark.stop()
+
+
+def cmd_crawl(args) -> None:
+    import pandas as pd
+
+    from crawler_engine_spark.frontier.rounds import CrawlConfig, CrawlEngine
+
+    cfg = EngineConfig.from_env()
+    spark = get_spark("crawl-rounds")
+    if args.robots:
+        robots = spark.read.parquet(args.robots)
+    else:
+        robots = spark.createDataFrame(
+            [], "host string, disallow_prefixes array<string>, crawl_delay_s double"
+        )
+    engine = CrawlEngine(
+        spark,
+        state_dir=args.state,
+        pages_path=args.pages,
+        robots=robots,
+        config=CrawlConfig(
+            round_seconds=args.round_seconds or cfg.round_seconds,
+            num_salts=cfg.num_salts,
+            bloom_partitions=cfg.bloom_partitions,
+            bloom_bits_per_segment=cfg.bloom_bits_per_segment,
+            mode=cfg.mode,
+            extract_opts=cfg.extract_opts,
+        ),
+    )
+    if engine.last_committed() < 0:
+        if args.seeds.endswith(".csv"):
+            seeds_pdf = pd.read_csv(args.seeds)
+            if "seed_rank" not in seeds_pdf:
+                seeds_pdf["seed_rank"] = range(len(seeds_pdf))
+            if "query" not in seeds_pdf:
+                seeds_pdf["query"] = None
+            seeds = spark.createDataFrame(
+                seeds_pdf[["url", "seed_rank", "query"]],
+                "url string, seed_rank int, query string",
+            )
+        else:
+            seeds = spark.read.parquet(args.seeds)
+        engine.init_from_seeds(seeds)
+    else:
+        print(json.dumps({"resuming_after_round": engine.last_committed()}))
+    records = engine.run(max_rounds=args.rounds)
+    for r in records:
+        print(json.dumps(r))
+    print(json.dumps({"command": "crawl", "rounds_run": len(records),
+                      "total_fetched": records[-1]["total_fetched"] if records else 0}))
+    spark.stop()
+
+
+def cmd_doctor(args) -> None:
+    """Smoke checks (reference cli.py:345-376 'doctor')."""
+    import pyspark
+
+    from crawler_engine_spark.data.gen import gen_pages_df
+    from crawler_engine_spark.kernels.extract import extract_page
+    from crawler_engine_spark.operators.extraction import extract_pages
+
+    checks = {"pyspark_version": pyspark.__version__}
+    rec = extract_page("https://h/x", "<html><body><p>ok doctor</p></body></html>", None, "adaptive")
+    checks["kernel"] = "ok" if "ok doctor" in rec["content"] else "FAIL"
+    spark = get_spark("doctor", master="local[2]", shuffle_partitions=2)
+    n = extract_pages(gen_pages_df(spark, 8, partitions=2), mode="structured").count()
+    checks["spark_extraction"] = "ok" if n == 8 else f"FAIL ({n})"
+    spark.stop()
+    checks["overall"] = "ok" if all(v == "ok" for k, v in checks.items() if k != "pyspark_version") else "FAIL"
+    print(json.dumps(checks))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="crawl.py")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    pe = sub.add_parser("extract", help="one-shot extraction over a page store")
+    pe.add_argument("--pages", required=True)
+    pe.add_argument("--out", required=True)
+    pe.add_argument("--mode", choices=["adaptive", "semantic", "structured", "rule_based", "hybrid"])
+    pe.add_argument("--query")
+    pe.add_argument("--format", default="parquet",
+                    choices=["parquet", "json", "markdown", "text", "html"])
+    pe.add_argument("--schema-template", help="{placeholder} output template")
+    pe.set_defaults(fn=cmd_extract)
+
+    ps = sub.add_parser("scrape", help="page metadata scrape (meta tags, ld+json, stats)")
+    ps.add_argument("--pages", required=True)
+    ps.add_argument("--out", required=True)
+    ps.set_defaults(fn=cmd_scrape)
+
+    pc = sub.add_parser("crawl", help="run crawl rounds over a page store")
+    pc.add_argument("--pages", required=True)
+    pc.add_argument("--seeds", required=True, help="csv or parquet with url[,seed_rank,query]")
+    pc.add_argument("--state", required=True)
+    pc.add_argument("--robots", help="parquet with host,disallow_prefixes,crawl_delay_s")
+    pc.add_argument("--rounds", type=int, default=5)
+    pc.add_argument("--round-seconds", type=float)
+    pc.set_defaults(fn=cmd_crawl)
+
+    pd_ = sub.add_parser("doctor", help="dependency / smoke checks")
+    pd_.set_defaults(fn=cmd_doctor)
+
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

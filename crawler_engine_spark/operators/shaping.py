@@ -1,0 +1,112 @@
+"""Output shaping (M5): the deterministic subset of the reference's
+``format_to_schema`` (utils/ai_client.py:674-850).
+
+The reference's schema shaping is AI-backed; its deterministic behaviours
+(those that survive an AI failure, plus the pure template path) are:
+* ``output_format`` is a ``{placeholder}`` template → ``SafeDict`` rendering:
+  missing keys stay as literal ``{key}`` (ai_client.py:788-813)
+* ``output_format`` is the literal ``"string"``/``"raw"``/None → raw content
+* anything else on the deterministic path → fallback = raw content
+  (ai_client.py catch-all)
+
+Plus the CLI save formats (cli.py:468-486): json / markdown / text / html
+per-result renderings.
+
+All shaping is pure column expressions or a tiny per-row kernel over
+already-extracted fields — no AI, no network.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+
+_PLACEHOLDER_RE = re.compile(r"\{(\w+)\}")
+
+
+class SafeDict(dict):
+    """format_map dict that leaves unknown placeholders intact
+    (ai_client.py SafeDict semantics)."""
+
+    def __missing__(self, key: str) -> str:
+        return "{" + key + "}"
+
+
+def render_template(template: str, fields: dict) -> str:
+    return template.format_map(SafeDict(fields))
+
+
+def render_template_col(template: str, result: DataFrame) -> Column:
+    """Template rendering as a pure column expression: each ``{name}``
+    placeholder that names a column becomes that column (nulls → literal
+    placeholder), others stay literal.  JVM-side — the scale path."""
+    cols = set(result.columns)
+    parts = []
+    pos = 0
+    for m in _PLACEHOLDER_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        name = m.group(1)
+        if name in cols:
+            parts.append(
+                F.coalesce(F.col(name).cast("string"), F.lit("{" + name + "}"))
+            )
+        else:
+            parts.append(F.lit(m.group(0)))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    return F.concat(*parts) if parts else F.lit("")
+
+
+def shape_results(result: DataFrame, output_format=None) -> DataFrame:
+    """Apply the deterministic format_to_schema subset to an extraction
+    result DataFrame; adds a ``formatted_data`` column."""
+    if output_format is None or output_format in ("string", "raw"):
+        return result.withColumn("formatted_data", F.col("content"))
+    if isinstance(output_format, str) and _PLACEHOLDER_RE.search(output_format):
+        return result.withColumn(
+            "formatted_data", render_template_col(output_format, result)
+        )
+    # Deterministic fallback: raw content (the AI path always fails offline).
+    return result.withColumn("formatted_data", F.col("content"))
+
+
+# ---------------------------------------------------------------- renderers
+# CLI save formats (cli.py:468-486): per-row document renderings.
+
+
+def render_markdown_col(result: DataFrame) -> Column:
+    return F.concat(
+        F.lit("# "),
+        F.coalesce(F.col("title"), F.col("url")),
+        F.lit("\n\n"),
+        F.lit("**URL:** "), F.col("url"), F.lit("\n\n"),
+        F.coalesce(F.col("content"), F.lit("")),
+    )
+
+
+def render_text_col(result: DataFrame) -> Column:
+    return F.coalesce(F.col("content"), F.lit(""))
+
+
+def render_html_col(result: DataFrame) -> Column:
+    esc = lambda c: F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, "&", "&amp;"), "<", "&lt;"), ">", "&gt;"
+    )
+    return F.concat(
+        F.lit("<html><head><title>"),
+        esc(F.coalesce(F.col("title"), F.col("url"))),
+        F.lit("</title></head><body><pre>"),
+        esc(F.coalesce(F.col("content"), F.lit(""))),
+        F.lit("</pre></body></html>"),
+    )
+
+
+def render_json_rows(result: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    cols = columns or ["url", "content", "title", "confidence_score", "success"]
+    return result.select(F.to_json(F.struct(*cols)).alias("json"))

@@ -1,0 +1,164 @@
+"""Tests for the S7 scrape operator, sinks, shaping, streaming surface,
+config loading, and the crawl.py CLI."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_engine_spark.config import EngineConfig
+from crawler_engine_spark.data import gen
+from crawler_engine_spark.kernels.scrape import scrape_page_metadata
+from crawler_engine_spark.operators import shaping
+from crawler_engine_spark.operators.scrape import scrape_metadata
+from crawler_engine_spark.sources.sinks import write_results
+from crawler_engine_spark.streaming.pipeline import stream_extract
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ------------------------------------------------------------------ scrape
+
+
+def test_scrape_kernel():
+    html = (
+        '<html><head><title>T</title>'
+        '<meta name="a" content="1"><meta property="og:b" content="2">'
+        '<meta name="a" content="override">'
+        '<script type="application/ld+json">{"@type":"Article"}</script>'
+        '<script>var x;</script></head>'
+        '<body><p>two words</p><a href="/x">l</a><a>nohref</a><img src="i"></body></html>'
+    )
+    rec = scrape_page_metadata(html)
+    assert rec["title"] == "T"
+    assert rec["meta_tags"] == {"a": "override", "og:b": "2"}  # later overwrites
+    assert rec["ld_json"] == ['{"@type":"Article"}']
+    assert rec["word_count"] == 4  # "two words l nohref"
+    assert rec["link_count"] == 1
+    assert rec["image_count"] == 1
+    assert rec["script_count"] == 2
+
+
+def test_scrape_operator(spark):
+    pages = gen.gen_pages_df(spark, 20, partitions=2)
+    rows = scrape_metadata(pages).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert "description" in r["meta_tags"]
+        assert r["script_count"] >= 1
+
+
+# ----------------------------------------------------------------- shaping
+
+
+def test_safe_dict_template():
+    out = shaping.render_template("{title} by {author} ({missing})",
+                                  {"title": "T", "author": "A"})
+    assert out == "T by A ({missing})"
+
+
+def test_render_template_col(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"title": ["T", None], "url": ["u1", "u2"]})
+    )
+    got = df.select(
+        shaping.render_template_col("<h1>{title}</h1> {url} {nope}", df).alias("s")
+    ).collect()
+    assert got[0]["s"] == "<h1>T</h1> u1 {nope}"
+    assert got[1]["s"] == "<h1>{title}</h1> u2 {nope}"  # null → literal
+
+
+def test_shape_results_raw_and_template(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"content": ["body"], "title": ["T"], "url": ["u"]})
+    )
+    raw = shaping.shape_results(df, None).first()["formatted_data"]
+    assert raw == "body"
+    tpl = shaping.shape_results(df, "# {title}\n{content}").first()["formatted_data"]
+    assert tpl == "# T\nbody"
+    fallback = shaping.shape_results(df, {"k": "v"}).first()["formatted_data"]
+    assert fallback == "body"  # deterministic fallback = raw content
+
+
+# ------------------------------------------------------------------- sinks
+
+
+def test_write_results_formats(spark, tmp_path):
+    from crawler_engine_spark.operators.extraction import extract_pages
+
+    res = extract_pages(gen.gen_pages_df(spark, 6, partitions=2), mode="structured").cache()
+    for fmt in ["parquet", "json", "markdown", "text", "html"]:
+        out = str(tmp_path / fmt)
+        write_results(res, out, fmt=fmt)
+        if fmt == "parquet":
+            assert spark.read.parquet(out).count() == 6
+        else:
+            txt = spark.read.text(out)
+            assert txt.count() >= 6
+    md = spark.read.text(str(tmp_path / "markdown")).collect()
+    assert any(r["value"].startswith("# ") for r in md)
+    js = spark.read.json(str(tmp_path / "json"))
+    assert js.count() == 6 and "url" in js.columns
+
+
+# --------------------------------------------------------------- streaming
+
+
+def test_stream_extract_available_now(spark, tmp_path):
+    pages_dir = str(tmp_path / "pages")
+    gen.gen_pages_df(spark, 30, partitions=3).write.parquet(pages_dir)
+    q = stream_extract(
+        spark, pages_dir,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        mode="structured",
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 30
+    # incremental: add more pages, re-run with same checkpoint → only delta
+    more_dir = str(tmp_path / "pages")
+    gen.gen_pages_df(spark, 10, partitions=1).withColumn(
+        "url", F.concat(F.lit("https://late.example/"), F.col("url"))
+    ).write.mode("append").parquet(more_dir)
+    q2 = stream_extract(
+        spark, pages_dir,
+        out_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        mode="structured",
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 40
+
+
+# ------------------------------------------------------------------ config
+
+
+def test_engine_config_from_env(monkeypatch):
+    monkeypatch.setenv("INTELLIGENT_EXTRACTOR_RELEVANCE_THRESHOLD", "0.4")
+    monkeypatch.setenv("INTELLIGENT_EXTRACTOR_EXTRACT_FORMS", "true")
+    monkeypatch.setenv("INTELLIGENT_EXTRACTOR_STRATEGY", "semantic")
+    monkeypatch.setenv("CRAWL_ROUND_SECONDS", "42")
+    cfg = EngineConfig.from_env()
+    assert cfg.extract_opts.relevance_threshold == 0.4
+    assert cfg.extract_opts.extract_forms is True
+    assert cfg.mode == "semantic"
+    assert cfg.round_seconds == 42.0
+
+
+# --------------------------------------------------------------------- CLI
+
+
+def test_cli_doctor():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "crawl.py"), "doctor"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["overall"] == "ok"
