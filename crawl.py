@@ -35,8 +35,9 @@ def cmd_extract(args) -> None:
     )
     if args.schema_template:
         results = shape_results(results, args.schema_template)
+    results = results.cache()
+    n = results.count()  # document count (text renderings may span lines)
     write_results(results, args.out, fmt=args.format)
-    n = spark.read.format("text" if args.format != "parquet" else "parquet").load(args.out).count()
     print(json.dumps({"command": "extract", "rows": n, "out": args.out}))
     spark.stop()
 
