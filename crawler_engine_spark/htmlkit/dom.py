@@ -204,7 +204,7 @@ class Node:
         matched: List[Node] = []
         seen: set = set()
         for group in selector.split(","):
-            chain = _parse_selector_chain(group.strip())
+            chain = _chain_cached(group.strip())
             if not chain:
                 continue
             for node in self.iter_elements():
@@ -220,6 +220,31 @@ class Node:
     def select_one(self, selector: str) -> Optional["Node"]:
         res = self.select(selector)
         return res[0] if res else None
+
+    def select_multi(self, selectors: Sequence[str]) -> List[List["Node"]]:
+        """Evaluate many selectors in ONE tree traversal.
+
+        Returns one document-ordered match list per selector.  Equivalent to
+        ``[self.select(s) for s in selectors]`` (for the supported grammar)
+        but walks the tree once — the extraction kernel's hot path runs
+        dozens of selectors per page.
+        """
+        chains = [_chain_cached(s) for s in selectors]
+        results: List[List[Node]] = [[] for _ in selectors]
+        simple_only: List[Optional[tuple]] = [
+            c[0] if len(c) == 1 else None for c in chains
+        ]
+        for node in self.iter_elements():
+            for k, chain in enumerate(chains):
+                if not chain:
+                    continue
+                simple = simple_only[k]
+                if simple is not None:
+                    if _matches_simple(node, simple):
+                        results[k].append(node)
+                elif _matches_chain(node, chain):
+                    results[k].append(node)
+        return results
 
     # ------------------------------------------------------------------ repr
     def __repr__(self) -> str:  # pragma: no cover
@@ -274,6 +299,14 @@ def _parse_selector_chain(selector: str):
             return []
         chain.append(simple)
     return chain
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=512)
+def _chain_cached(selector: str):
+    return _parse_selector_chain(selector.strip())
 
 
 def _matches_simple(node: Node, simple) -> bool:

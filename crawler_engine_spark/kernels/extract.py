@@ -120,19 +120,21 @@ def _semantic_clean_html(html: str, opts: ExtractOptions) -> str:
 
 def _prune_for_text(root: dom.Node, opts: ExtractOptions) -> None:
     """The shared DOM-pruning pass (semantic_strategy.py:206-228,
-    structured_strategy.py:477-500)."""
-    removable = ["script", "style", "noscript"]
+    structured_strategy.py:477-500).
+
+    All conditions are attribute-only, so the sequential reference passes
+    collapse into ONE tree traversal with an identical final tree (removal
+    order can't change what matches)."""
+    selectors = ["script", "style", "noscript"]
     if not opts.enable_hidden_content_handling:
-        removable += ["iframe", "object", "embed", "applet"]
-    for el in root.find_all(removable):
-        el.decompose()
-    for el in root.find_all(["nav", "footer", "header"]):
-        if opts.remove_navigation:
-            el.decompose()
+        selectors += ["iframe", "object", "embed", "applet"]
+    if opts.remove_navigation:
+        selectors += ["nav", "footer", "header"]
     if opts.remove_ads:
-        for selector in _AD_SELECTORS:
-            for el in root.select(selector):
-                el.decompose()
+        selectors += _AD_SELECTORS
+    for matches in root.select_multi(selectors):
+        for el in matches:
+            el.decompose()
 
 
 def _extract_clean_text(root: dom.Node, opts: ExtractOptions) -> str:
@@ -185,17 +187,24 @@ def _extract_page_metadata(root: dom.Node) -> Dict[str, Any]:
     desc = root.find("meta", attrs={"name": "description"})
     if desc is not None:
         md["content_type"] = (desc.attrs.get("content") or "").strip()
-    for selector in _AUTHOR_SELECTORS:
-        el = root.select_one(selector)
-        if el is not None:
+
+    # Author/date/tag selector groups share one tree traversal.
+    all_selectors = _AUTHOR_SELECTORS + _DATE_SELECTORS + _TAG_SELECTORS
+    matches = root.select_multi(all_selectors)
+    na, nd = len(_AUTHOR_SELECTORS), len(_DATE_SELECTORS)
+    author_m, date_m, tag_m = matches[:na], matches[na : na + nd], matches[na + nd :]
+
+    for m in author_m:
+        if m:
+            el = m[0]
             if el.name == "meta":
                 md["author"] = (el.attrs.get("content") or "").strip()
             else:
                 md["author"] = el.get_text().strip()
             break
-    for selector in _DATE_SELECTORS:
-        el = root.select_one(selector)
-        if el is not None:
+    for m in date_m:
+        if m:
+            el = m[0]
             date_str = (
                 el.attrs.get("datetime")
                 or el.attrs.get("content")
@@ -207,8 +216,8 @@ def _extract_page_metadata(root: dom.Node) -> Dict[str, Any]:
     html_el = root.find("html")
     if html_el is not None:
         md["language"] = html_el.attrs.get("lang", "")
-    for selector in _TAG_SELECTORS:
-        for el in root.select(selector):
+    for m in tag_m:
+        for el in m:
             if el.name == "meta":
                 content = el.attrs.get("content", "")
                 if content:
@@ -355,35 +364,43 @@ def _parse_form(form: dom.Node) -> Dict[str, Any]:
 
 def _structured_data(root: dom.Node, opts: ExtractOptions) -> Dict[str, List]:
     sd = _empty_structured()
+    # Single traversal for every enabled selector family; per-selector match
+    # lists preserve the reference's append order (incl. double-counting
+    # when one element matches several selectors, structured_strategy.py:224-231).
+    families: List[tuple] = []
     if opts.extract_tables:
-        for selector in _TABLE_SELECTORS:
-            for t in root.select(selector):
-                sd["tables"].append(_parse_table(t))
+        families += [("tables", s) for s in _TABLE_SELECTORS]
     if opts.extract_lists:
-        for selector in _LIST_SELECTORS:
-            for l in root.select(selector):
-                sd["lists"].append(_parse_list(l))
+        families += [("lists", s) for s in _LIST_SELECTORS]
     if opts.extract_forms:
-        for selector in _FORM_SELECTORS:
-            for f in root.select(selector):
-                sd["forms"].append(_parse_form(f))
+        families += [("forms", s) for s in _FORM_SELECTORS]
     if opts.extract_links:
-        for selector in _LINK_SELECTORS:
-            for a in root.select(selector):
-                href = a.attrs.get("href", "")
-                if not href:
-                    continue
-                sd["links"].append(
-                    {
-                        "href": href,
-                        "text": a.get_text(strip=True),
-                        "title": a.attrs.get("title", ""),
-                        "target": a.attrs.get("target", ""),
-                        "rel": a.get("rel", []),
-                        "id": a.attrs.get("id", ""),
-                        "class": a.get("class", []),
-                    }
-                )
+        families += [("links", s) for s in _LINK_SELECTORS]
+    matches = root.select_multi([s for _, s in families])
+    by_family: Dict[str, List[dom.Node]] = {}
+    for (family, _), m in zip(families, matches):
+        by_family.setdefault(family, []).extend(m)
+    for t in by_family.get("tables", []):
+        sd["tables"].append(_parse_table(t))
+    for l in by_family.get("lists", []):
+        sd["lists"].append(_parse_list(l))
+    for f in by_family.get("forms", []):
+        sd["forms"].append(_parse_form(f))
+    for a in by_family.get("links", []):
+        href = a.attrs.get("href", "")
+        if not href:
+            continue
+        sd["links"].append(
+            {
+                "href": href,
+                "text": a.get_text(strip=True),
+                "title": a.attrs.get("title", ""),
+                "target": a.attrs.get("target", ""),
+                "rel": a.get("rel", []),
+                "id": a.attrs.get("id", ""),
+                "class": a.get("class", []),
+            }
+        )
     if opts.extract_images:
         for img in root.find_all("img"):
             d = {
@@ -431,9 +448,14 @@ def _combine_structured_content(text: str, sd: Dict[str, List]) -> str:
 
 
 def extract_structured(
-    url: str, user_query: Optional[str], html: str, opts: ExtractOptions
+    url: str,
+    user_query: Optional[str],
+    html: str,
+    opts: ExtractOptions,
+    root: Optional[dom.Node] = None,
 ) -> Dict[str, Any]:
-    root = dom.parse(html)
+    if root is None:
+        root = dom.parse(html)
     # Order matters: structured data sees the full DOM, then the SAME tree is
     # pruned for text (the reference mutates one soup, structured_strategy.py:119-122).
     sd = _structured_data(root, opts)
@@ -515,37 +537,68 @@ def _rule_cleaning_selectors(opts: ExtractOptions) -> List[str]:
     return sels
 
 
+_REMOVE_CLASS_RX = [re.compile(p, re.IGNORECASE) for p in _REMOVE_CLASS_PATTERNS]
+_REMOVE_ID_RX = [re.compile(p, re.IGNORECASE) for p in _REMOVE_ID_PATTERNS]
+
+
 def _rule_clean(root: dom.Node, opts: ExtractOptions) -> None:
-    for selector in _rule_cleaning_selectors(opts):
-        for el in root.select(selector):
-            el.decompose()
-    for pat in _REMOVE_CLASS_PATTERNS:
-        rx = re.compile(pat, re.IGNORECASE)
-        for el in root.find_all(class_=rx):
-            el.decompose()
-    for pat in _REMOVE_ID_PATTERNS:
-        rx = re.compile(pat, re.IGNORECASE)
-        for el in root.find_all(id=rx):
-            el.decompose()
+    """All removal conditions (selectors + class/id regexes) are attribute-
+    only, so the reference's sequential sweeps collapse into one traversal
+    with an identical final tree."""
+    selector_matches = root.select_multi(_rule_cleaning_selectors(opts))
+    to_remove = [el for m in selector_matches for el in m]
+    for el in root.iter_elements():
+        raw_cls = el.attrs.get("class")
+        if raw_cls is not None:
+            tokens = raw_cls.split()
+            if any(
+                any(rx.search(t) for t in tokens) or rx.search(raw_cls)
+                for rx in _REMOVE_CLASS_RX
+            ):
+                to_remove.append(el)
+                continue
+        raw_id = el.attrs.get("id")
+        if raw_id is not None and any(rx.search(raw_id) for rx in _REMOVE_ID_RX):
+            to_remove.append(el)
+    for el in to_remove:
+        el.decompose()
     # The reference's comment sweep (rule_based_strategy.py:346-347) never
     # matches (bs4 Comment strings don't include the ``<!--`` markers) — no-op.
 
 
 def extract_rule_based(
-    url: str, user_query: Optional[str], html: str, opts: ExtractOptions
+    url: str,
+    user_query: Optional[str],
+    html: str,
+    opts: ExtractOptions,
+    root: Optional[dom.Node] = None,
 ) -> Dict[str, Any]:
-    root = dom.parse(html)
+    if root is None:
+        root = dom.parse(html)
     _rule_clean(root, opts)
+
+    # Pre-evaluate every rule's selectors in one traversal (no mutation
+    # happens during rule application, so the sequential-with-early-stop
+    # semantics are unchanged — later rules' matches are simply unused).
+    flat_selectors = [s for _n, sels, _p in _CONTENT_RULES for s in sels]
+    flat_matches = root.select_multi(flat_selectors)
+    rule_matches: List[List[dom.Node]] = []
+    pos = 0
+    for _n, sels, _p in _CONTENT_RULES:
+        merged: List[dom.Node] = []
+        for _ in sels:
+            merged.extend(flat_matches[pos])
+            pos += 1
+        rule_matches.append(merged)
 
     extracted_parts: List[str] = []
     applied_rules = 0
-    for _name, selectors, _prio in _CONTENT_RULES:
+    for (_name, _sels, _prio), els in zip(_CONTENT_RULES, rule_matches):
         content_parts: List[str] = []
-        for selector in selectors:
-            for el in root.select(selector):
-                t = el.get_text(separator=" ", strip=True)
-                if t and len(t) > 50:
-                    content_parts.append(t)
+        for el in els:
+            t = el.get_text(separator=" ", strip=True)
+            if t and len(t) > 50:
+                content_parts.append(t)
         rule_content = "\n\n".join(content_parts)
         if rule_content:
             extracted_parts.append(rule_content)
@@ -571,18 +624,15 @@ def extract_rule_based(
 
     # Metadata rules over the cleaned tree (rule_based_strategy.py:444-515).
     metadata = _empty_metadata()
-    title = _metadata_field(root, "title")
-    if title:
-        metadata["title"] = title
-    author = _metadata_field(root, "author")
-    if author:
-        metadata["author"] = author
-    date_str = _metadata_field(root, "date")
-    if date_str:
-        metadata["publish_date"] = _parse_date(date_str)
-    category = _metadata_field(root, "category")
-    if category:
-        metadata["categories"].append(category)
+    fields = _metadata_fields(root)
+    if fields["title"]:
+        metadata["title"] = fields["title"]
+    if fields["author"]:
+        metadata["author"] = fields["author"]
+    if fields["date"]:
+        metadata["publish_date"] = _parse_date(fields["date"])
+    if fields["category"]:
+        metadata["categories"].append(fields["category"])
     html_el = root.find("html")
     if html_el is not None:
         metadata["language"] = html_el.attrs.get("lang", "")
@@ -622,17 +672,31 @@ def extract_rule_based(
     }
 
 
-def _metadata_field(root: dom.Node, field_name: str) -> Optional[str]:
-    selectors, attribute = _METADATA_RULES[field_name]
-    for selector in selectors:
-        for el in root.select(selector):
-            if attribute == "text":
-                value = el.get_text(strip=True)
-            else:
-                value = el.attrs.get(attribute, "")
-            if value:
-                return value
-    return None
+def _metadata_fields(root: dom.Node) -> Dict[str, Optional[str]]:
+    """All metadata rules in one traversal; per-field first-non-empty wins
+    in selector order (rule_based_strategy.py:489-515)."""
+    names = list(_METADATA_RULES)
+    flat = [s for n in names for s in _METADATA_RULES[n][0]]
+    matches = root.select_multi(flat)
+    out: Dict[str, Optional[str]] = {}
+    pos = 0
+    for n in names:
+        selectors, attribute = _METADATA_RULES[n]
+        value: Optional[str] = None
+        for _ in selectors:
+            if value is None:
+                for el in matches[pos]:
+                    v = (
+                        el.get_text(strip=True)
+                        if attribute == "text"
+                        else el.attrs.get(attribute, "")
+                    )
+                    if v:
+                        value = v
+                        break
+            pos += 1
+        out[n] = value
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -641,9 +705,15 @@ def _metadata_field(root: dom.Node, field_name: str) -> Optional[str]:
 
 
 def extract_hybrid(
-    url: str, user_query: Optional[str], html: str, opts: ExtractOptions
+    url: str,
+    user_query: Optional[str],
+    html: str,
+    opts: ExtractOptions,
+    root: Optional[dom.Node] = None,
 ) -> Dict[str, Any]:
-    analysis_root = dom.parse(html)
+    # One raw parse serves both the content analysis and the structured
+    # sub-strategy (analysis only reads; structured mutates afterwards).
+    analysis_root = root if root is not None else dom.parse(html)
     counts = {
         "tables": len(analysis_root.find_all("table")),
         "lists": len(analysis_root.find_all(["ul", "ol"])),
@@ -670,7 +740,7 @@ def extract_hybrid(
     # The deterministic path always takes the "hybrid" approach: the analysis
     # dict pre-seeds recommended_approach (hybrid_strategy.py:156, 249-250).
     sem = extract_semantic(url, user_query, html, opts)
-    st = extract_structured(url, user_query, html, opts)
+    st = extract_structured(url, user_query, html, opts, root=analysis_root)
 
     sc, tc = sem["content"], st["content"]
     if content_type == "text_heavy":
@@ -718,9 +788,14 @@ def extract_hybrid(
 
 
 def extract_adaptive(
-    url: str, user_query: Optional[str], html: str, opts: ExtractOptions
+    url: str,
+    user_query: Optional[str],
+    html: str,
+    opts: ExtractOptions,
+    root: Optional[dom.Node] = None,
 ) -> Dict[str, Any]:
-    root = dom.parse(html)
+    if root is None:
+        root = dom.parse(html)
 
     title_el = root.find("title")
     title = title_el.get_text().strip() if title_el is not None else ""
@@ -781,8 +856,9 @@ LINKS FOUND:
 # --------------------------------------------------------------------------
 
 
-def extract_out_links(html: str, base_url: str) -> List[str]:
-    root = dom.parse(html)
+def extract_out_links(html: str, base_url: str, root: Optional[dom.Node] = None) -> List[str]:
+    if root is None:
+        root = dom.parse(html)
     links: List[str] = []
     for a in root.find_all("a"):
         href = a.attrs.get("href")
@@ -826,8 +902,18 @@ def extract_page(
     core/extractor.py:318-342), strategy kernel, final metrics pass
     (core/extractor.py:360-375), and frontier out-link extraction."""
     effective_mode = mode if mode in _STRATEGIES else "adaptive"
+    # One shared raw parse: out-links are collected BEFORE any strategy
+    # mutates the tree (structured/rule_based decompose nodes); semantic
+    # still parses its own regex-cleaned HTML string (different input).
+    raw_root = dom.parse(html or "")
+    out_links = extract_out_links(html or "", url, root=raw_root)
     try:
-        res = _STRATEGIES[effective_mode](url, user_query, html or "", opts)
+        if effective_mode == "semantic":
+            res = extract_semantic(url, user_query, html or "", opts)
+        else:
+            res = _STRATEGIES[effective_mode](
+                url, user_query, html or "", opts, root=raw_root
+            )
         error_message = None
     except Exception as exc:  # parity: strategies catch-all → error result
         res = {
@@ -865,5 +951,5 @@ def extract_page(
         "relevance_score": res["relevance_score"],
         "completeness_score": res["completeness_score"],
         "accuracy_score": res["accuracy_score"],
-        "out_links": extract_out_links(html or "", url),
+        "out_links": out_links,
     }
