@@ -35,32 +35,48 @@ DEFAULT_NUM_SALTS = 8
 PRIORITY_COLS = ["depth", "parent_seq", "link_position"]
 
 
-def host_budget_col(crawl_delay: F.Column, round_seconds: float) -> F.Column:
-    """requests allowed per host per round: floor(round_seconds / delay), ≥ 1."""
-    return F.greatest(
-        F.lit(1), F.floor(F.lit(round_seconds) / F.greatest(crawl_delay, F.lit(1e-9)))
-    ).cast("int")
-
-
 def apply_robots(
-    frontier: DataFrame, robots: DataFrame, round_seconds: float = DEFAULT_ROUND_SECONDS
+    frontier: DataFrame,
+    robots: DataFrame,
+    round_seconds: float = DEFAULT_ROUND_SECONDS,
+    host_tokens: DataFrame | None = None,
+    burst_rounds: int = 1,
 ) -> DataFrame:
-    """Broadcast-join robots rules; adds ``allowed`` and ``host_budget``.
+    """Broadcast-join robots rules + token-bucket state; adds ``allowed``,
+    ``host_budget`` and ``tokens_available``.
 
-    ``robots`` columns: host, disallow_prefixes array<string>, crawl_delay_s.
-    Hosts with no rule row default to allowed with the reference delay.
+    Token bucket per host: refill = round_seconds / crawl_delay tokens per
+    round, capacity = burst_rounds × refill; budget = max(1, floor(available))
+    (the ≥1 floor can drive tokens negative — legitimate bucket debt that
+    shrinks the next round's budget).  With burst_rounds=1 the carried state
+    cannot exceed one refill, so budgets equal the stateless per-round
+    formula.  ``robots`` columns: host, disallow_prefixes, crawl_delay_s;
+    hosts without a rule default to allowed at the reference delay
+    (models/config.py:161).  ``host_tokens`` columns: host, tokens.
     """
     joined = frontier.join(F.broadcast(robots), on="host", how="left")
+    if host_tokens is not None:
+        joined = joined.join(F.broadcast(host_tokens), on="host", how="left")
+        tokens = F.coalesce(F.col("tokens"), F.lit(0.0))
+    else:
+        tokens = F.lit(0.0)
     disallowed = F.exists(
         F.coalesce(F.col("disallow_prefixes"), F.array()),
         lambda p: F.col("path").startswith(p),
     )
     delay = F.coalesce(F.col("crawl_delay_s"), F.lit(DEFAULT_CRAWL_DELAY_S))
-    return (
+    refill = F.lit(round_seconds) / F.greatest(delay, F.lit(1e-9))
+    available = F.least(F.lit(float(burst_rounds)) * refill, tokens + refill)
+    out = (
         joined.withColumn("allowed", ~disallowed)
-        .withColumn("host_budget", host_budget_col(delay, round_seconds))
+        .withColumn("tokens_available", available)
+        .withColumn(
+            "host_budget",
+            F.greatest(F.lit(1), F.floor(available)).cast("int"),
+        )
         .drop("disallow_prefixes", "crawl_delay_s")
     )
+    return out.drop("tokens") if host_tokens is not None else out
 
 
 def select_batch(

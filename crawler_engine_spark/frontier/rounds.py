@@ -62,6 +62,9 @@ class CrawlConfig:
     mode: Optional[str] = None  # None → adaptive (reference dispatch)
     extract_opts: ExtractOptions = DEFAULT_OPTIONS
     max_rounds: int = 100
+    # Token-bucket burst capacity in units of one round's refill; 1 ≡ the
+    # stateless per-round budget, >1 lets idle hosts accumulate allowance.
+    burst_rounds: int = 1
 
 
 class CrawlEngine:
@@ -173,8 +176,17 @@ class CrawlEngine:
             shutil.rmtree(rd)
         os.makedirs(rd, exist_ok=True)
 
-        # 1. robots gate (broadcast join, J3)
-        gated = politeness.apply_robots(frontier, self.robots, self.cfg.round_seconds)
+        # 1. robots gate (broadcast join, J3) + token-bucket state (W5)
+        prev_tokens_path = os.path.join(self._round_dir(k - 1), "host_tokens")
+        prev_tokens = (
+            self.spark.read.parquet(prev_tokens_path)
+            if os.path.isdir(prev_tokens_path)
+            else None
+        )
+        gated = politeness.apply_robots(
+            frontier, self.robots, self.cfg.round_seconds,
+            host_tokens=prev_tokens, burst_rounds=self.cfg.burst_rounds,
+        )
         blocked = gated.where(~F.col("allowed")).select(*frontier.columns)
         eligible = gated.where(F.col("allowed"))
 
@@ -300,13 +312,30 @@ class CrawlEngine:
             out_dir=os.path.join(rd, "bloom"),
         )
 
-        # 10. fetched-order log (golden_crawl comparison surface)
+        # 10. token-bucket state for round k: per eligible host,
+        #     available - used (hosts absent from the frontier drop out and
+        #     restart at one refill when rediscovered)
+        host_avail = eligible.select("host", "tokens_available").distinct()
+        used = batch.groupBy("host").agg(F.count("*").alias("_used"))
+        new_tokens = (
+            host_avail.join(used, on="host", how="left")
+            .select(
+                "host",
+                (
+                    F.col("tokens_available")
+                    - F.coalesce(F.col("_used"), F.lit(0))
+                ).alias("tokens"),
+            )
+        )
+        new_tokens.write.mode("overwrite").parquet(os.path.join(rd, "host_tokens"))
+
+        # 11. fetched-order log (golden_crawl comparison surface)
         batch.select(
             F.lit(k).alias("round"), "fetch_seq", "canonical_url", "host",
             "fetch_status", "depth",
         ).write.mode("overwrite").parquet(os.path.join(rd, "fetched"))
 
-        # 11. per-partition lineage metrics (A8 / north-rule requirement)
+        # 12. per-partition lineage metrics (A8 / north-rule requirement)
         metrics = (
             results.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
@@ -331,7 +360,7 @@ class CrawlEngine:
         selected.unpersist()
         batch.unpersist()
         flagged.unpersist()
-        # 12. atomic commit marker — written LAST
+        # 13. atomic commit marker — written LAST
         with open(self._commit_path(k), "w") as f:
             json.dump(record, f)
         return record

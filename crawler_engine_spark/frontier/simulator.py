@@ -59,6 +59,7 @@ def simulate_crawl(
     robots: SimRobots,
     round_seconds: float = 10.0,
     max_rounds: int = 100,
+    burst_rounds: int = 1,
 ) -> Tuple[List[SimFetch], set]:
     """Run the oracle crawl.  ``seeds``: [{url, seed_rank, query}];
     ``pages``: canonical_url → html bytes.
@@ -67,6 +68,7 @@ def simulate_crawl(
     seen: set = set()
     log: List[SimFetch] = []
     total_fetched = 0
+    tokens: Dict[str, float] = {}  # token-bucket state (eligible hosts only)
 
     for s in seeds:
         c = urlkit.canonicalize_url(s["url"])
@@ -88,15 +90,26 @@ def simulate_crawl(
                 del frontier[url]
         seen.update(blocked_now)
 
-        # per-host budgeted selection by priority
+        # per-host budgeted selection by priority (token bucket: available =
+        # min(burst·refill, carried + refill); budget = max(1, ⌊available⌋))
         by_host: Dict[str, List[str]] = {}
         for url in frontier:
             by_host.setdefault(urlkit.url_host(url), []).append(url)
         selected: List[str] = []
+        available_by_host: Dict[str, float] = {}
+        used_by_host: Dict[str, int] = {}
         for host, urls in by_host.items():
-            budget = max(1, int(round_seconds // max(robots.delay(host), 1e-9)))
+            refill = round_seconds / max(robots.delay(host), 1e-9)
+            available = min(burst_rounds * refill, tokens.get(host, 0.0) + refill)
+            available_by_host[host] = available
+            budget = max(1, int(available))
             urls.sort(key=lambda u: frontier[u])
-            selected.extend(urls[:budget])
+            take = urls[:budget]
+            used_by_host[host] = len(take)
+            selected.extend(take)
+        tokens = {
+            h: available_by_host[h] - used_by_host[h] for h in by_host
+        }
         if not selected and not blocked_now:
             break
         # global deterministic fetch order
