@@ -299,6 +299,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN scale path, oracle-checked exact: IVF coarse quantization
+    (deterministic seeded centroids, distributed cell assignment) probing
+    ALL cells — must reproduce the exact brute-force top-k; cell-pruned
+    recall is locked separately by tests/test_pipeline_ops.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    query = e.where(F.col("vec_id") == 0).first()["embedding"]
+    cents = similarity.build_ivf_centroids(e, "embedding", n_cells=8, sample=512)
+    res = similarity.cosine_topk_ivf(
+        e, "embedding", "vec_id", query, cents, k=10, n_probe=len(cents)
+    )
+    return res.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, oracle-checked on the Spark-side surface:
+    binary payload column → Arrow-batched feature extraction (decode is the
+    deterministic fake; byte counts and statuses are engine-portable)."""
+    from crawler_engine_spark.operators.multimodal import extract_media_features
+
+    d = _t(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    res = extract_media_features(media, fake_decode=True)
+    return res.select(
+        "media_id", "kind", "payload_bytes", "decode_status",
+        F.size("feature").alias("feature_dim"),
+    )
+
+
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup (rows-only: xxhash64 not portable to DuckDB)."""
     d = _t(spark, sf_dir, "documents")
@@ -367,6 +405,52 @@ def q_extract_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _doc_pages(spark, sf_dir)
     res = extract_pages(pages, mode="adaptive")
     return res.select("url", "content", "word_count", F.size("out_links").alias("n_links"))
+
+
+_SEM_QUERY = "spark join merge window table"
+
+
+def q_extract_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic strategy, oracle-checked: single-chunk docs (all < 2000
+    chars), keyword relevance = |query∩chunk words| / |query words| with the
+    0.6 threshold (semantic_strategy.py:349-371), confidence = mean chunk
+    relevance."""
+    pages = _doc_pages(spark, sf_dir)
+    res = extract_pages(pages, mode="semantic", query=_SEM_QUERY)
+    return res.select(
+        "url", "content",
+        F.round("confidence_score", 4).alias("confidence"),
+        "word_count",
+    )
+
+
+def q_extract_rule_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based strategy, oracle-checked: prioritized selector rules with
+    the >50-char element filter and the >min_content_length early stop
+    (rule_based_strategy.py:351-410) — on this template the article rule
+    fires, then (for 51..100-char docs) the paragraph rule re-adds the same
+    text before the early stop triggers."""
+    pages = _doc_pages(spark, sf_dir)
+    res = extract_pages(pages, mode="rule_based")
+    return res.select(
+        "url", "content",
+        F.round("confidence_score", 4).alias("confidence"),
+        F.round("completeness_score", 4).alias("completeness"),
+    )
+
+
+def q_extract_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid strategy, oracle-checked: text_heavy analysis path picks the
+    longer of semantic/structured content (semantic is empty without a
+    query), confidence = 0.6·semantic + 0.4·structured
+    (hybrid_strategy.py:317-384)."""
+    pages = _doc_pages(spark, sf_dir)
+    res = extract_pages(pages, mode="hybrid")
+    return res.select(
+        "url", "content",
+        F.round("confidence_score", 4).alias("confidence"),
+        "word_count",
+    )
 
 
 def q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,12 +551,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "embedding_topk": q_embedding_topk,
+        "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
+        "media_features": q_media_features,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "extract_structured": q_extract_structured,
         "extract_adaptive": q_extract_adaptive,
+        "extract_semantic": q_extract_semantic,
+        "extract_rule_based": q_extract_rule_based,
+        "extract_hybrid": q_extract_hybrid,
         "extract_outlinks": q_extract_outlinks,
         "scrape_meta": q_scrape_meta,
         "shape_template": q_shape_template,
@@ -628,6 +717,24 @@ def oracle_sql() -> dict[str, str]:
                      (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
             LIMIT 10
         """,
+        "embedding_topk_ivf": """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)), 4) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INTEGER)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS payload_bytes,
+                   'ok' AS decode_status,
+                   16 AS feature_dim
+            FROM documents
+        """,
         "embedding_near_dup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
@@ -678,6 +785,68 @@ def oracle_sql() -> dict[str, str]:
                    'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS out_link
             FROM documents
         """,
+        "extract_semantic": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                       || ' alpha ' || source || ' next' AS sem_text
+              FROM documents),
+            scored AS (
+              SELECT doc_id, sem_text,
+                     len(list_filter(['spark','join','merge','window','table'],
+                         w -> list_contains(
+                           regexp_extract_all(lower(sem_text), '[a-z0-9_]+'), w)))
+                       AS hits
+              FROM base)
+            SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   CASE WHEN hits >= 3 THEN sem_text ELSE '' END AS content,
+                   CAST(ROUND(CASE WHEN hits >= 3 THEN hits / 5.0 ELSE 0.0 END, 4)
+                     AS DOUBLE) AS confidence,
+                   CASE WHEN hits >= 3
+                        THEN len(regexp_split_to_array(sem_text, '\s+'))
+                        ELSE 0 END AS word_count
+            FROM scored
+        """,
+        "extract_rule_based": r"""
+            WITH built AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) > 100 THEN text
+                          WHEN length(text) > 50 THEN text || ' ' || text
+                          ELSE '' END AS content,
+                     CASE WHEN length(text) > 100 THEN 1
+                          WHEN length(text) > 50 THEN 2
+                          ELSE 0 END AS applied
+              FROM documents)
+            SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   content,
+                   CAST(ROUND(least(1.0, 0.5
+                         + CASE WHEN length(content) > 1000 THEN 0.2
+                                WHEN length(content) > 500 THEN 0.1 ELSE 0.0 END
+                         + 0.15 + applied / 5.0 * 0.1), 4) AS DOUBLE) AS confidence,
+                   CAST(ROUND(least(length(content) / 1000.0, 1.0), 4) AS DOUBLE)
+                     AS completeness
+            FROM built
+        """,
+        "extract_hybrid": r"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     'Doc ' || CAST(doc_id AS VARCHAR) || ' ' || text
+                       || ' alpha ' || source || ' next' AS txt
+              FROM documents),
+            built AS (
+              SELECT doc_id, txt,
+                     txt || chr(10) || chr(10) || 'Lists found: 1'
+                         || chr(10) || chr(10) || 'Links found: 1' AS content
+              FROM base)
+            SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   content,
+                   CAST(ROUND(0.4 * (0.65
+                         + CASE WHEN length(txt) > 1000 THEN 0.1
+                                WHEN length(txt) > 500 THEN 0.05 ELSE 0.0 END), 4)
+                     AS DOUBLE) AS confidence,
+                   len(regexp_split_to_array(content, '\s+')) AS word_count
+            FROM built
+        """,
         "scrape_meta": r"""
             SELECT 'https://docs.example/m/' || CAST(doc_id AS VARCHAR) AS url,
                    'Doc ' || CAST(doc_id AS VARCHAR) AS title,
@@ -698,7 +867,76 @@ def oracle_sql() -> dict[str, str]:
                      || ' :: {missing}' AS formatted_data
             FROM documents
         """,
-        # rows-only by design (noted): quality_score (float-formula heavy),
-        # minhash_near_dup / simhash (engine-side hashing not portable),
-        # extract_adaptive (composite kernel output).
+        # quality_score: the heuristic is pure column arithmetic; the oracle
+        # mirrors the exact term order of textstats.quality_score_col so the
+        # doubles round identically at 4 decimals (verified value-exact at
+        # sf0.01).
+        "quality_score": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^\p{L}\p{N}'']+'), t -> t != '') AS ts
+              FROM documents),
+            feat AS (
+              SELECT doc_id,
+                length(text) AS n_chars,
+                CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+                length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+                length(regexp_replace(text, '[^\p{L} ]', '', 'g')) AS alpha,
+                CAST(len(list_filter(ts, t -> list_contains(
+                  ['the','and','of','to','in','is','that','for','with','as'], t)))
+                  AS DOUBLE) / greatest(len(ts), 1) AS stop_ratio
+              FROM toks),
+            scores AS (
+              SELECT doc_id,
+                least(n_tokens / 100.0, 1.0) AS length_score,
+                CASE WHEN n_chars / greatest(n_tokens, 1) >= 3
+                      AND n_chars / greatest(n_tokens, 1) <= 10
+                     THEN 1.0 ELSE 0.3 END AS word_len_score,
+                CASE WHEN punct / greatest(n_chars, 1) > 0.001
+                      AND punct / greatest(n_chars, 1) < 0.2
+                     THEN 1.0 ELSE 0.4 END AS punct_score,
+                least(stop_ratio * 5.0, 1.0) AS stop_score,
+                alpha / greatest(n_chars, 1) AS alpha_ratio
+              FROM feat)
+            SELECT doc_id,
+                   ROUND(length_score * 0.3 + word_len_score * 0.2 + punct_score * 0.2
+                         + stop_score * 0.15 + alpha_ratio * 0.15, 4) AS quality
+            FROM scores
+        """,
+        # extract_adaptive: on the fixed _doc_pages template the adaptive
+        # composite (PAGE METADATA / HEADINGS / FULL TEXT / LINKS,
+        # adaptive_strategy.py:595-608) is a deterministic string the oracle
+        # rebuilds verbatim: FULL TEXT = ws-collapsed join of innerText(body)
+        # plus every element's get_text() in document order (html, head,
+        # title, body, article, p, ul, li, li, a) — glue points with no
+        # intervening whitespace stay glued (e.g. text||'alpha'||source).
+        "extract_adaptive": r"""
+            WITH built AS (
+              SELECT doc_id,
+                chr(10) || 'PAGE METADATA:' || chr(10) || 'Title: Doc '
+                  || CAST(doc_id AS VARCHAR)
+                  || chr(10) || 'URL: https://docs.example/d/' || CAST(doc_id AS VARCHAR)
+                  || chr(10) || chr(10) || 'HEADINGS STRUCTURE:' || chr(10)
+                  || chr(10) || chr(10) || 'FULL TEXT CONTENT:' || chr(10)
+                  || text || ' alpha ' || source || ' next Doc ' || CAST(doc_id AS VARCHAR)
+                  || text || 'alpha' || source || 'next Doc ' || CAST(doc_id AS VARCHAR)
+                  || ' Doc ' || CAST(doc_id AS VARCHAR)
+                  || ' ' || text || 'alpha' || source || 'next'
+                  || ' ' || text || ' ' || text
+                  || ' alpha' || source || ' alpha ' || source || ' next'
+                  || chr(10) || chr(10) || 'LINKS FOUND:' || chr(10)
+                  || '- next: https://docs.example/d/' || CAST(doc_id AS VARCHAR) || chr(10)
+                  AS content
+              FROM documents)
+            SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   content,
+                   len(regexp_split_to_array(trim(content, ' ' || chr(10)), '\s+'))
+                     AS word_count,
+                   1 AS n_links
+            FROM built
+        """,
+        # rows-only by design (noted): minhash_near_dup / simhash
+        # (engine-side xxhash64/blake2b hashing not portable to DuckDB).
     }

@@ -28,6 +28,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # Sized so per-level compute (~2.7 ms/page kernel time) dominates the fixed
 # Spark job overhead — smaller workloads under-report scaling efficiency.
 SCALING_PAGES = int(os.environ.get("BENCH_SCALING_PAGES", "100000"))
+# N of the N-vs-4N pair.  2→8 keeps the 4N level inside the machine's flat
+# frequency band on this 32-core host; the frequency_control section
+# quantifies the ceiling at any pair.
+SCALING_N = int(os.environ.get("BENCH_SCALING_N", "2"))
 CRAWL_PAGES = int(os.environ.get("BENCH_CRAWL_PAGES", "20000"))
 
 BENCH_QUERIES = [
@@ -60,58 +64,131 @@ def _materialize(df) -> int:
     return 0
 
 
-def run_scaling_worker(cpus: int) -> None:
-    """Subprocess entry: time a fixed extraction workload at local[cpus].
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
 
-    Pages are materialized to parquet first so the timed job is a single
-    scan → mapInPandas kernel → noop sink (one Python stage per task;
-    chaining the generator would double the Python workers and contend)."""
+
+def run_scaling_worker(_unused: int = 0) -> None:
+    """Subprocess entry: the full two-level scaling measurement.
+
+    Protocol (designed against this sandbox's measurement hazards):
+    * one shared pages table (32 evenly-sized files; the parquet source
+      splits row-groups to each level's parallelism, so task count == cores
+      at both levels)
+    * N and 4N runs INTERLEAVED, 3 reps each, median per level — single-shot
+      timings drift ±20% with CPU frequency state, medians of interleaved
+      reps decorrelate that drift
+    * a pure-multiprocessing control runs the same kernel with zero Spark at
+      both worker counts: its efficiency is the MACHINE's frequency-scaling
+      ceiling at 4x parallelism; the engine can't beat physics, so the
+      honest engine figure is raw efficiency vs. that ceiling.
+    """
     import shutil
+    import statistics
     import tempfile
 
     from crawler_engine_spark.data.gen import gen_pages_df
     from crawler_engine_spark.operators.extraction import extract_pages
     from crawler_engine_spark.session import get_spark
 
-    spark = get_spark(f"bench-scale-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=max(cpus, 8))
-    tmp = tempfile.mkdtemp(prefix=f"bench_scale_{cpus}_")
+    n = SCALING_N
+    tmp = tempfile.mkdtemp(prefix="bench_scale_")
     try:
         path = os.path.join(tmp, "pages")
-        gen_pages_df(spark, SCALING_PAGES, partitions=max(cpus * 2, 8)).write.parquet(path)
-        pages = spark.read.parquet(path)
-        _materialize(extract_pages(pages.limit(500), mode="structured"))  # warm
-        t0 = time.time()
-        _materialize(extract_pages(pages, mode="structured"))
-        dt = time.time() - t0
-        print(json.dumps({"cpus": cpus, "seconds": dt,
-                          "pages_per_sec": SCALING_PAGES / dt}))
+        s0 = get_spark("bench-scale-gen", master=f"local[{CPUS}]",
+                       shuffle_partitions=CPUS)
+        gen_pages_df(s0, SCALING_PAGES, partitions=32).write.parquet(path)
+        s0.stop()
+
+        def one_run(cpus: int) -> float:
+            spark = get_spark(f"bench-scale-{cpus}", master=f"local[{cpus}]",
+                              shuffle_partitions=cpus)
+            try:
+                pages = spark.read.parquet(path)
+                _materialize(extract_pages(pages.limit(500), mode="structured"))
+                dt = _timed(
+                    lambda: _materialize(extract_pages(pages, mode="structured"))
+                )
+                return SCALING_PAGES / dt
+            finally:
+                spark.stop()
+
+        res = {n: [], n * 4: []}
+        for _rep in range(3):
+            for cpus in (n, n * 4):
+                res[cpus].append(one_run(cpus))
+        lo = statistics.median(res[n])
+        hi = statistics.median(res[n * 4])
+
+        out = {
+            f"local[{n}]": {"cpus": n, "pages_per_sec": round(lo, 1),
+                            "reps": [round(x, 1) for x in res[n]]},
+            f"local[{n * 4}]": {"cpus": n * 4, "pages_per_sec": round(hi, 1),
+                                "reps": [round(x, 1) for x in res[n * 4]]},
+            "efficiency": round((hi / lo) / 4.0, 3),
+            "parallelism_ratio": 4.0,
+            "frequency_control": _frequency_control(n),
+        }
+        print(json.dumps(out))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-        spark.stop()
+
+
+def _frequency_control(n: int) -> dict:
+    """Machine frequency-scaling ceiling: the same extraction kernel under
+    plain multiprocessing (no Spark, no Arrow, no JVM) at N and 4N workers.
+    Anything below 1.0 here is CPU turbo/thermal physics, not engine
+    overhead."""
+    import multiprocessing as mp
+    import statistics
+
+    from crawler_engine_spark.kernels import extract as _ex  # noqa: F401
+
+    per_worker = 1200
+    res = {n: [], n * 4: []}
+    for _rep in range(3):
+        for w in (n, n * 4):
+            with mp.Pool(w) as pool:
+                t0 = time.time()
+                pool.map(_control_work, [per_worker] * w)
+                res[w].append(w * per_worker / (time.time() - t0))
+    lo = statistics.median(res[n])
+    hi = statistics.median(res[n * 4])
+    return {
+        f"mp[{n}]": round(lo, 1),
+        f"mp[{n * 4}]": round(hi, 1),
+        "ceiling_efficiency": round((hi / lo) / 4.0, 3),
+    }
+
+
+_CONTROL_HTML = (
+    '<html lang="en"><head><title>T</title></head><body><article><p>'
+    + "word salad spark join merge " * 30
+    + '</p></article><ul><li>alpha</li><li>src</li></ul>'
+    + '<a href="/d/1">next</a>' * 3
+    + "</body></html>"
+)
+
+
+def _control_work(n_pages: int) -> int:
+    from crawler_engine_spark.kernels.extract import DEFAULT_OPTIONS, extract_page
+
+    for i in range(n_pages):
+        extract_page(f"https://h.example/{i}", _CONTROL_HTML, None, "structured",
+                     DEFAULT_OPTIONS)
+    return n_pages
 
 
 def run_scaling() -> dict:
-    """N vs 4N cores (BASELINE.md). N = CPUS/8 so the 4N level still has
-    machine headroom for the JVM scan + Arrow threads that accompany the
-    Python kernel workers — at full machine width those threads contend with
-    the workers and the measurement reflects oversubscription, not the
-    engine's scaling."""
-    out = {}
-    n = max(CPUS // 8, 2)
-    for cpus in (n, n * 4):
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cpus)],
-            capture_output=True, text=True, timeout=1200,
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-        out[f"local[{cpus}]"] = json.loads(line)
-    lo, hi = out[f"local[{n}]"], out[f"local[{n * 4}]"]
-    out["efficiency"] = round(
-        (hi["pages_per_sec"] / lo["pages_per_sec"]) / 4.0, 3
+    """N vs 4N cores in a fresh subprocess (clean JVM)."""
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--scaling-worker", "0"],
+        capture_output=True, text=True, timeout=2400,
     )
-    out["parallelism_ratio"] = 4.0
-    return out
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
 
 
 def run_crawl(spark) -> dict:
