@@ -8,7 +8,8 @@ One crawl round is one DataFrame pipeline (north rule):
      exact anti-join → next frontier)
 
 State is checkpointed per round under ``state_dir/rounds/round=K/`` —
-frontier, results, fetched-order log, seen-set delta, bloom segments, and
+frontier, results, seen-set delta (doubling as the fetched-order log),
+bloom segments, and
 per-partition lineage metrics — committed atomically by writing a ``_COMMIT``
 marker last.  Resume = continue from the highest committed round; an
 interrupted round leaves no marker and is recomputed idempotently
@@ -183,10 +184,14 @@ class CrawlEngine:
             if os.path.isdir(prev_tokens_path)
             else None
         )
+        # Persisted: three consumers (blocked paths, politeness selection,
+        # token accounting) would otherwise each recompute the scan + join.
+        # At the 10^10 design point this spills MEMORY_AND_DISK per executor
+        # rather than re-reading the frontier from storage three times.
         gated = politeness.apply_robots(
             frontier, self.robots, self.cfg.round_seconds,
             host_tokens=prev_tokens, burst_rounds=self.cfg.burst_rounds,
-        )
+        ).persist()
         blocked = gated.where(~F.col("allowed")).select(*frontier.columns)
         eligible = gated.where(F.col("allowed"))
 
@@ -205,17 +210,17 @@ class CrawlEngine:
             "fetch_status", F.when(F.col("html").isNotNull(), "ok").otherwise("miss")
         ).cache()
 
-        # 4. extraction (vectorized kernel) over successfully "fetched" pages
+        # 4. extraction (vectorized kernel) over successfully "fetched" pages;
+        # lineage columns ride through the kernel as passthrough — no
+        # post-kernel re-join (which would shuffle the whole results table).
         to_extract = batch.where(F.col("fetch_status") == "ok").select(
             F.col("canonical_url").alias("url"), "html", "query", "fetch_seq", "depth"
         )
         results = extract_pages(
             to_extract.withColumn("mode", F.lit(self.cfg.mode).cast("string")),
             opts=self.cfg.extract_opts,
+            passthrough=["fetch_seq", "depth"],
         )
-        # re-attach lineage columns lost through the kernel's column pruning
-        lineage = to_extract.select("url", "fetch_seq", "depth")
-        results = results.join(lineage, on="url", how="left")
         results.write.mode("overwrite").parquet(os.path.join(rd, "results"))
         results = self.spark.read.parquet(os.path.join(rd, "results"))
 
@@ -274,18 +279,29 @@ class CrawlEngine:
             blocked.select("canonical_url"), on="canonical_url", how="left_anti"
         )
 
-        # 7. next frontier = politeness remainder ∪ new discoveries
+        # 7. next frontier = politeness remainder ∪ new discoveries.  The
+        # ``origin`` marker column lets the commit record derive both counts
+        # from the written files (readers use the explicit FRONTIER_SCHEMA,
+        # which simply ignores it).
         cols = [c.split()[0] for c in FRONTIER_SCHEMA.split(", ")]
-        next_frontier = remainder.select(*cols).unionByName(survivors.select(*cols))
+        next_frontier = (
+            remainder.select(*cols).withColumn("origin", F.lit("carried"))
+            .unionByName(
+                survivors.select(*cols).withColumn("origin", F.lit("discovered"))
+            )
+        )
         next_frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
 
-        # 8. seen delta: everything attempted this round + robots-blocked
+        # 8. seen delta: everything attempted this round + robots-blocked.
+        # Doubles as the fetched-order log (fetched_log() filters/projects
+        # it) — one write instead of two for the same rows.
         seen_delta = (
             batch.select(
                 "canonical_url",
                 "url_hash",
                 "host",
                 "fetch_seq",
+                "depth",
                 F.col("fetch_status"),
                 F.lit(k).alias("round"),
                 F.lit(True).alias("was_new"),
@@ -296,6 +312,7 @@ class CrawlEngine:
                     "url_hash",
                     "host",
                     F.lit(None).cast("long").alias("fetch_seq"),
+                    "depth",
                     F.lit("robots_blocked").alias("fetch_status"),
                     F.lit(k).alias("round"),
                     F.lit(True).alias("was_new"),
@@ -329,13 +346,7 @@ class CrawlEngine:
         )
         new_tokens.write.mode("overwrite").parquet(os.path.join(rd, "host_tokens"))
 
-        # 11. fetched-order log (golden_crawl comparison surface)
-        batch.select(
-            F.lit(k).alias("round"), "fetch_seq", "canonical_url", "host",
-            "fetch_status", "depth",
-        ).write.mode("overwrite").parquet(os.path.join(rd, "fetched"))
-
-        # 12. per-partition lineage metrics (A8 / north-rule requirement)
+        # 11. per-partition lineage metrics (A8 / north-rule requirement)
         metrics = (
             results.groupBy(F.spark_partition_id().alias("partition_id"))
             .agg(
@@ -348,19 +359,35 @@ class CrawlEngine:
         )
         metrics.write.mode("overwrite").parquet(os.path.join(rd, "metrics"))
 
-        n_fetched = batch.count()
+        # Commit-record counts come from the WRITTEN outputs (two tiny
+        # metadata-backed jobs) instead of re-running the plans that produced
+        # them — at scale, recomputing the robots join / novelty chain just
+        # to count it would double the round's work.
+        status_counts = {
+            r["fetch_status"]: r["count"]
+            for r in seen_delta.groupBy("fetch_status").count().collect()
+        }
+        origin_counts = {
+            r["origin"]: r["count"]
+            for r in self.spark.read.parquet(os.path.join(rd, "frontier"))
+            .groupBy("origin").count().collect()
+        }
+        n_fetched = sum(
+            v for s, v in status_counts.items() if s != "robots_blocked"
+        )
         record = {
             "round": k,
             "fetched": n_fetched,
-            "blocked": blocked.count(),
-            "new_urls": survivors.count(),
-            "frontier_size": next_frontier.count(),
+            "blocked": status_counts.get("robots_blocked", 0),
+            "new_urls": origin_counts.get("discovered", 0),
+            "frontier_size": sum(origin_counts.values()),
             "total_fetched": int(prev["total_fetched"]) + n_fetched,
         }
         selected.unpersist()
         batch.unpersist()
         flagged.unpersist()
-        # 13. atomic commit marker — written LAST
+        gated.unpersist()
+        # 12. atomic commit marker — written LAST
         with open(self._commit_path(k), "w") as f:
             json.dump(record, f)
         return record
@@ -384,12 +411,19 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ readers
     def fetched_log(self) -> DataFrame:
+        """Fetched-order log (golden_crawl comparison surface) — a
+        filter/projection of the per-round seen deltas."""
         paths = [
-            os.path.join(self._round_dir(k), "fetched")
+            os.path.join(self._round_dir(k), "seen_delta")
             for k in self.committed_rounds()
             if k > 0
         ]
-        return self.spark.read.parquet(*paths)
+        return (
+            self.spark.read.parquet(*paths)
+            .where(F.col("fetch_status") != "robots_blocked")
+            .select("round", "fetch_seq", "canonical_url", "host",
+                    "fetch_status", "depth")
+        )
 
     def results(self) -> DataFrame:
         paths = [

@@ -198,15 +198,23 @@ def extract_pages(
     mode: Optional[str] = None,
     query: Optional[str] = None,
     opts: ExtractOptions = DEFAULT_OPTIONS,
+    passthrough: Optional[list] = None,
 ) -> DataFrame:
     """Run the extraction kernel over a pages DataFrame.
 
     ``mode``/``query`` act as defaults; per-row ``mode`` / ``query`` columns
     (if present) take precedence — this realizes the reference's per-URL query
     zip (core/extractor.py:265-287).
+
+    ``passthrough`` names input columns to echo unchanged into the output
+    (appended after the extraction columns).  This lets callers keep lineage
+    columns (fetch_seq, depth, ...) WITHOUT a post-kernel re-join — at scale
+    that join is a full shuffle of the results table.
     """
     cols = set(pages.columns)
     has_mode, has_query = "mode" in cols, "query" in cols
+    passthrough = list(passthrough or [])
+    in_schema = {f.name: f for f in pages.schema.fields}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -224,7 +232,19 @@ def extract_pages(
                     opts=opts,
                 )
                 out.append(_row_to_flat(rec))
-            yield pd.DataFrame(out, columns=_OUT_COLUMNS)
+            res = pd.DataFrame(out, columns=_OUT_COLUMNS)
+            for c in passthrough:
+                res[c] = pdf[c].values
+            yield res
 
-    needed = ["url", "html"] + (["mode"] if has_mode else []) + (["query"] if has_query else [])
-    return pages.select(*needed).mapInPandas(run, schema=EXTRACTION_SCHEMA)
+    out_schema = T.StructType(
+        list(EXTRACTION_SCHEMA.fields) + [in_schema[c] for c in passthrough]
+    )
+    needed = (
+        ["url", "html"]
+        + (["mode"] if has_mode else [])
+        + (["query"] if has_query else [])
+        + passthrough
+    )
+    needed = list(dict.fromkeys(needed))  # dedupe, keep order
+    return pages.select(*needed).mapInPandas(run, schema=out_schema)
