@@ -81,6 +81,11 @@ class Node:
                 pass
             self.parent = None
 
+    def extract(self) -> "Node":
+        """Detach and return this node (bs4 ``extract`` analog)."""
+        self.decompose()
+        return self
+
     def iter_elements(self) -> Iterator["Node"]:
         """All descendant element nodes in document order (excl. self)."""
         stack = list(reversed(self.children))
@@ -113,6 +118,12 @@ class Node:
             return raw.split()
         return self.attrs.get(key, default)
 
+    def __getitem__(self, key: str) -> Any:
+        """bs4 ``tag['attr']`` access (KeyError when absent)."""
+        if key not in self.attrs:
+            raise KeyError(key)
+        return self.get(key)
+
     def has_attr(self, key: str) -> bool:
         return key in self.attrs
 
@@ -143,13 +154,29 @@ class Node:
         id: Optional[Pattern] = None,
         attrs: Optional[dict] = None,
         recursive: bool = True,
+        string=None,
+        **kw_attrs: Any,
     ) -> List["Node"]:
         """Document-order element search.
 
         ``class_`` / ``id`` accept compiled regexes with bs4 matching rules:
         a class regex matches if it searches any individual class token or the
-        full space-joined attribute value.
+        full space-joined attribute value.  ``string`` (bs4 text search)
+        accepts a predicate over text-node strings and returns the matching
+        TEXT nodes themselves (``.extract()``-able), as bs4 returns
+        NavigableStrings.
         """
+        if string is not None:
+            found: List[Node] = []
+            stack = list(reversed(self.children))
+            while stack:
+                node = stack.pop()
+                if node.kind == TEXT:
+                    if string(node.data):
+                        found.append(node)
+                else:
+                    stack.extend(reversed(node.children))
+            return found
         if isinstance(names, str):
             name_set = {names}
         elif names is None:
@@ -184,6 +211,19 @@ class Node:
                 ok = True
                 for k, v in attrs.items():
                     if node.attrs.get(k) != v:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+            if kw_attrs:
+                # bs4 keyword-attr filters: True = presence, str = equality.
+                ok = True
+                for k, v in kw_attrs.items():
+                    if v is True:
+                        if k not in node.attrs:
+                            ok = False
+                            break
+                    elif node.attrs.get(k) != v:
                         ok = False
                         break
                 if not ok:
