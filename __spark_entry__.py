@@ -453,6 +453,21 @@ def q_extract_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CustomExtractor facade (user-defined selector rules,
+    core/custom_extractor.py:75-105), oracle-checked: a priority-0 'body'
+    rule fires first; for 51..100-char body texts the built-in article rule
+    re-adds the paragraph before the early stop."""
+    from crawler_engine_spark.operators.custom import CustomExtractor
+
+    ex = CustomExtractor().add_rule("grab_body", "body", priority=0)
+    res = ex.extract(_doc_pages(spark, sf_dir))
+    return res.select(
+        "url", "content",
+        F.round("confidence_score", 4).alias("confidence"),
+    )
+
+
 def q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: link extraction + resolution through the kernel, oracle-checked."""
     pages = _doc_pages(spark, sf_dir)
@@ -562,6 +577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_semantic": q_extract_semantic,
         "extract_rule_based": q_extract_rule_based,
         "extract_hybrid": q_extract_hybrid,
+        "extract_custom": q_extract_custom,
         "extract_outlinks": q_extract_outlinks,
         "scrape_meta": q_scrape_meta,
         "shape_template": q_shape_template,
@@ -784,6 +800,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
                    'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS out_link
             FROM documents
+        """,
+        "extract_custom": r"""
+            WITH base AS (
+              SELECT doc_id, source, text,
+                     text || ' alpha ' || source || ' next' AS bodytext,
+                     length(text) + length(source) + 12 AS blen
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                     CASE WHEN blen > 100 THEN bodytext
+                          WHEN length(text) > 50 THEN bodytext || ' ' || text
+                          ELSE bodytext END AS content,
+                     CASE WHEN blen > 100 THEN 1
+                          WHEN length(text) > 50 THEN 2
+                          ELSE 1 END AS applied
+              FROM base)
+            SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   content,
+                   CAST(ROUND(least(1.0, 0.5
+                         + CASE WHEN length(content) > 1000 THEN 0.2
+                                WHEN length(content) > 500 THEN 0.1 ELSE 0.0 END
+                         + 0.15 + applied / 6.0 * 0.1), 4) AS DOUBLE) AS confidence
+            FROM built
         """,
         "extract_semantic": r"""
             WITH base AS (

@@ -216,14 +216,20 @@ class Node:
                 if not ok:
                     continue
             if kw_attrs:
-                # bs4 keyword-attr filters: True = presence, str = equality.
+                # bs4 keyword-attr filters: True = presence, compiled regex =
+                # .search on the raw value, str = equality.
                 ok = True
                 for k, v in kw_attrs.items():
+                    raw_v = node.attrs.get(k)
                     if v is True:
                         if k not in node.attrs:
                             ok = False
                             break
-                    elif node.attrs.get(k) != v:
+                    elif hasattr(v, "search"):
+                        if raw_v is None or not v.search(raw_v):
+                            ok = False
+                            break
+                    elif raw_v != v:
                         ok = False
                         break
                 if not ok:

@@ -72,6 +72,11 @@ class ExtractOptions:
     extract_links: bool = True
     extract_images: bool = False
     content_selectors: Tuple[str, ...] = ()
+    # User-defined rules (core/custom_extractor.py:75-105 →
+    # rule_based_strategy.py:601-615): (name, selectors, priority), merged
+    # with the built-in rules and applied in priority order (stable for
+    # ties, matching the reference's sorted() over insertion order).
+    custom_rules: Tuple[Tuple[str, Tuple[str, ...], int], ...] = ()
 
 
 DEFAULT_OPTIONS = ExtractOptions()
@@ -577,14 +582,23 @@ def extract_rule_based(
         root = dom.parse(html)
     _rule_clean(root, opts)
 
+    # Built-in rules + user-defined custom rules (custom_extractor.py
+    # add_rule), applied in priority order — stable sort keeps the
+    # reference's insertion-order tie-break (rule_based_strategy.py:356-359).
+    content_rules = sorted(
+        list(_CONTENT_RULES)
+        + [(n, list(sels), prio) for n, sels, prio in opts.custom_rules],
+        key=lambda r: r[2],
+    )
+
     # Pre-evaluate every rule's selectors in one traversal (no mutation
     # happens during rule application, so the sequential-with-early-stop
     # semantics are unchanged — later rules' matches are simply unused).
-    flat_selectors = [s for _n, sels, _p in _CONTENT_RULES for s in sels]
+    flat_selectors = [s for _n, sels, _p in content_rules for s in sels]
     flat_matches = root.select_multi(flat_selectors)
     rule_matches: List[List[dom.Node]] = []
     pos = 0
-    for _n, sels, _p in _CONTENT_RULES:
+    for _n, sels, _p in content_rules:
         merged: List[dom.Node] = []
         for _ in sels:
             merged.extend(flat_matches[pos])
@@ -593,7 +607,7 @@ def extract_rule_based(
 
     extracted_parts: List[str] = []
     applied_rules = 0
-    for (_name, _sels, _prio), els in zip(_CONTENT_RULES, rule_matches):
+    for (_name, _sels, _prio), els in zip(content_rules, rule_matches):
         content_parts: List[str] = []
         for el in els:
             t = el.get_text(separator=" ", strip=True)
@@ -656,8 +670,9 @@ def extract_rule_based(
     if metadata["language"]:
         meta_score += 0.05
     confidence += meta_score
-    # Stateless-kernel deviation: success rate over this page's rules only.
-    confidence += (applied_rules / len(_CONTENT_RULES)) * 0.1
+    # Stateless-kernel deviation: success rate over this page's rules only
+    # (denominator includes custom rules, rule_based_strategy.py:540-541).
+    confidence += (applied_rules / len(content_rules)) * 0.1
     confidence = min(1.0, confidence)
 
     return {

@@ -216,6 +216,58 @@ def test_reference_link_extraction_parity(ref_web_utils):
         assert ours == theirs, (doc_id, ours[:5], theirs[:5])
 
 
+def test_reference_extract_metadata_parity(ref_web_utils):
+    """web_utils.extract_metadata (title + name/property meta map + og pass)
+    vs our scrape kernel's equivalent view (S7)."""
+    from crawler_engine_spark.data import gen
+    from crawler_engine_spark.kernels.scrape import scrape_page_metadata
+
+    for doc_id in range(0, 300, 13):
+        html = gen.html_of(doc_id, 300)
+        theirs = ref_web_utils.extract_metadata(html)
+        s = scrape_page_metadata(html)
+        ours = dict(s["meta_tags"])
+        if s["title"]:
+            ours["title"] = s["title"]
+        assert ours == theirs, (doc_id, ours, theirs)
+
+
+def test_reference_custom_extractor_parity(ref):
+    """The CustomExtractor facade (user-defined selector rules,
+    core/custom_extractor.py) run on both sides: same add_rule/add_selector
+    registry, byte-identical content and equal confidence per page (fresh
+    reference instance per page — the stateless-kernel deviation)."""
+    from intelligent_web_extractor.core.custom_extractor import (
+        CustomExtractor as RefCustomExtractor,
+    )
+    from intelligent_web_extractor.models.config import ExtractorConfig
+
+    from crawler_engine_spark.data import gen
+    from crawler_engine_spark.kernels.extract import extract_page
+    from crawler_engine_spark.operators.custom import CustomExtractor
+
+    ours = (
+        CustomExtractor()
+        .add_rule("grab_divs", "div", priority=1)
+        .add_rule("late_rule", "ul", priority=99)
+        .add_selector("article")
+    )
+    opts = ours.options()
+
+    for doc_id in range(0, 300, 23):
+        url, html = gen.url_of(doc_id), gen.html_of(doc_id, 300)
+        theirs_ex = RefCustomExtractor(ExtractorConfig())
+        theirs_ex.add_rule("grab_divs", "div", priority=1)
+        theirs_ex.add_rule("late_rule", "ul", priority=99)
+        theirs_ex.add_selector("article")
+        theirs = asyncio.get_event_loop().run_until_complete(
+            theirs_ex.extract(url, None, html)
+        )
+        mine = extract_page(url, html, None, "rule_based", opts)
+        assert mine["content"] == theirs.content, (doc_id, url)
+        assert abs(mine["confidence_score"] - theirs.metrics.confidence_score) < 1e-9
+
+
 @pytest.mark.parametrize("mode", ["semantic", "structured", "rule_based", "hybrid"])
 def test_reference_metrics_and_metadata_parity(ref, mode):
     """Reference ExtractionMetrics.confidence_score and metadata title must
