@@ -268,6 +268,72 @@ def test_reference_custom_extractor_parity(ref):
         assert abs(mine["confidence_score"] - theirs.metrics.confidence_score) < 1e-9
 
 
+def test_reference_batch_ordering_parity(ref, monkeypatch):
+    """Drive the reference's REAL BatchProcessor loop (batch_processor.py:
+    103-142) with a recording extractor whose per-URL latencies are
+    deliberately scrambled: results must come back in input order, groups of
+    ``max_workers`` must be strictly sequential, and in-group concurrency is
+    capped by the semaphore — the exact semantics our frontier encodes as
+    priority (round, seed_rank) (W6/J4)."""
+    import random
+
+    from intelligent_web_extractor.core import batch_processor as bp
+    from intelligent_web_extractor.models.config import ExtractorConfig
+
+    events = []
+
+    class RecorderExtractor:
+        def __init__(self, config):
+            self._rng = random.Random(7)
+
+        async def __aenter__(self):
+            return self
+
+        async def __aexit__(self, *a):
+            return False
+
+        async def extract_content(self, url, user_query=None, **kw):
+            events.append(("start", url))
+            await asyncio.sleep(self._rng.random() * 0.02)  # scramble finishes
+            events.append(("end", url))
+            return types.SimpleNamespace(url=url, success=True, user_query=user_query)
+
+    monkeypatch.setattr(bp, "AdaptiveContentExtractor", RecorderExtractor)
+
+    config = ExtractorConfig()
+    config.performance.max_workers = 4
+    config.performance.max_concurrent_requests = 2
+    urls = [f"https://h{i % 3}.example/p{i}" for i in range(11)]
+
+    proc = bp.BatchProcessor(config)
+    results = asyncio.get_event_loop().run_until_complete(proc.process_urls(urls))
+
+    # 1. results in input order despite scrambled completion order
+    assert [r.url for r in results] == urls
+    # 2. groups of max_workers are strictly sequential: no URL of group g
+    #    starts before every earlier group has fully completed
+    group_of = {u: i // 4 for i, u in enumerate(urls)}
+    group_size = {}
+    for u in urls:
+        group_size[group_of[u]] = group_size.get(group_of[u], 0) + 1
+    ends = {}
+    completed = set()
+    for kind, url in events:
+        g = group_of[url]
+        if kind == "start":
+            assert set(range(g)) <= completed, (url, g, completed)
+        else:
+            ends[g] = ends.get(g, 0) + 1
+            if ends[g] == group_size[g]:
+                completed.add(g)
+    # 3. in-group concurrency never exceeds the semaphore cap
+    active, peak = 0, 0
+    for kind, _url in events:
+        active += 1 if kind == "start" else -1
+        peak = max(peak, active)
+    assert peak <= config.performance.max_concurrent_requests
+
+
 @pytest.mark.parametrize("mode", ["semantic", "structured", "rule_based", "hybrid"])
 def test_reference_metrics_and_metadata_parity(ref, mode):
     """Reference ExtractionMetrics.confidence_score and metadata title must
