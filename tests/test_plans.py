@@ -66,3 +66,69 @@ def test_topk_uses_take_ordered(spark, pages_path):
     pages = spark.read.parquet(pages_path)
     plan = _plan(pages.orderBy(F.col("warc_ts").desc()).limit(5))
     assert "TakeOrderedAndProject" in plan  # no full sort for top-k
+
+
+# ----------------------------------------------------------- round pipeline
+
+
+@pytest.fixture(scope="module")
+def frontier_df(spark):
+    import pandas as pd
+
+    from crawler_engine_spark.operators import urlops
+
+    urls = [f"https://host{i % 5}.example/sec/p{i}" for i in range(200)]
+    pdf = pd.DataFrame({"canonical_url": urls})
+    df = spark.createDataFrame(pdf)
+    return (
+        df.withColumn("url_hash", urlops.url_hash_col(F.col("canonical_url")))
+        .withColumn("host", urlops.host_col(F.col("canonical_url")))
+        .withColumn("path", urlops.path_col(F.col("canonical_url")))
+        .withColumn("depth", F.lit(0))
+        .withColumn("parent_seq", F.lit(-1).cast("long"))
+        .withColumn("link_position", F.lit(0))
+        .withColumn("query", F.lit(None).cast("string"))
+    )
+
+
+def test_robots_join_broadcasts(spark, frontier_df):
+    """J3: the robots rules table must reach the frontier as a broadcast —
+    a shuffle join here would move the whole frontier for a tiny dim."""
+    import pandas as pd
+
+    from crawler_engine_spark.data import gen
+    from crawler_engine_spark.frontier import politeness
+
+    robots = spark.createDataFrame(
+        pd.DataFrame(gen.gen_robots()),
+        "host string, disallow_prefixes array<string>, crawl_delay_s double",
+    )
+    gated = politeness.apply_robots(frontier_df, robots, 10.0)
+    plan = _plan(gated)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_politeness_selection_has_no_single_partition_exchange(spark, frontier_df):
+    """W5: the salted two-phase window must never collapse to one reducer —
+    `Exchange SinglePartition` in this plan would serialize the frontier."""
+    from crawler_engine_spark.frontier import politeness
+
+    with_budget = frontier_df.withColumn("host_budget", F.lit(3))
+    selected, remainder = politeness.select_batch(with_budget, num_salts=4)
+    for df in (selected, remainder):
+        plan = _plan(df)
+        assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_fetch_sequence_has_no_single_partition_window(spark, frontier_df):
+    """fetch_seq must be a distributed ranked sequence (range partition +
+    offsets), not `Window [...] over ()` on one partition."""
+    from crawler_engine_spark.frontier import politeness
+
+    with_budget = frontier_df.withColumn("host_budget", F.lit(3))
+    selected, _ = politeness.select_batch(with_budget, num_salts=4)
+    seq = politeness.global_fetch_sequence(selected)
+    plan = _plan(seq)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
