@@ -51,6 +51,63 @@ def stream_extract(
     return writer.start()
 
 
+CANDIDATES_SCHEMA = "host string, canonical_url string, url_hash long"
+
+
+def stream_politeness_admit(
+    spark: SparkSession,
+    candidates_dir: str,
+    refill_per_batch: float = 5.0,
+    capacity: float = 10.0,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Continuous per-host politeness: a token-bucket admission controller as
+    a custom stateful operator (``applyInPandasWithState``), the streaming
+    analog of the batch engine's W5 window + token table
+    (frontier/politeness.py).
+
+    State per host: remaining tokens.  Each micro-batch the bucket refills by
+    ``refill_per_batch`` (capped at ``capacity``), admits up to
+    ``floor(tokens)`` candidates in deterministic ``url_hash`` order, and
+    carries the remainder across batches — hosts that sit idle accumulate
+    burst allowance exactly like the batch token table with burst_rounds > 1.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def admit(key, pdfs, state: GroupState):
+        (host,) = key
+        tokens = state.get[0] if state.exists else 0.0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values("url_hash", kind="mergesort")
+        tokens = min(float(capacity), tokens + float(refill_per_batch))
+        n = int(min(len(rows), math.floor(tokens)))
+        admitted = rows.iloc[:n]
+        state.update((tokens - n,))
+        yield pd.DataFrame(
+            {
+                "host": admitted["host"],
+                "canonical_url": admitted["canonical_url"],
+                "tokens_left": [float(tokens - n)] * n,
+            }
+        )
+
+    candidates = (
+        spark.readStream.schema(CANDIDATES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(candidates_dir)
+    )
+    return candidates.groupBy("host").applyInPandasWithState(
+        admit,
+        outputStructType="host string, canonical_url string, tokens_left double",
+        stateStructType="tokens double",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_ingest_rates(
     spark: SparkSession,
     pages_dir: str,
