@@ -121,3 +121,34 @@ def test_burst_token_bucket_matches_oracle(spark, tmp_path):
         round_seconds=ROUND_SECONDS, max_rounds=4, burst_rounds=1,
     )
     assert [(f.round, f.url) for f in sim_log] != [(f.round, f.url) for f in sim_log_b1]
+
+
+def test_robots_decisions_agree_with_stdlib_robotparser():
+    """For the wildcard-free subset the engine models (plain Disallow
+    prefixes, single group), our any-prefix-blocks decision must agree with
+    urllib.robotparser on randomized rule sets and paths."""
+    import random
+    from urllib import robotparser
+
+    from crawler_engine_spark.kernels.robots import parse_robots_txt
+
+    rng = random.Random(42)
+    segs = ["a", "b", "private", "shop", "docs", "x1"]
+    for _case in range(200):
+        prefixes = sorted(
+            {
+                "/" + "/".join(rng.sample(segs, rng.randint(1, 2))) + rng.choice(["", "/"])
+                for _ in range(rng.randint(0, 4))
+            }
+        )
+        body = "User-agent: *\n" + "".join(f"Disallow: {p}\n" for p in prefixes)
+
+        rp = robotparser.RobotFileParser()
+        rp.parse(body.splitlines())
+        rec = parse_robots_txt(body, agent="anybot")
+
+        for _p in range(8):
+            path = "/" + "/".join(rng.sample(segs, rng.randint(1, 3)))
+            ours = not any(path.startswith(pref) for pref in rec["disallow_prefixes"])
+            theirs = rp.can_fetch("anybot", path)
+            assert ours == theirs, (body, path, ours, theirs)
