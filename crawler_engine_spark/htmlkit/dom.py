@@ -277,19 +277,34 @@ class Node:
         """
         chains = [_chain_cached(s) for s in selectors]
         results: List[List[Node]] = [[] for _ in selectors]
-        simple_only: List[Optional[tuple]] = [
-            c[0] if len(c) == 1 else None for c in chains
-        ]
+        # Bucket selectors by the target tag of their last simple selector so
+        # each node only tests selectors that could match it; selectors whose
+        # conditions all require attributes are skipped outright on
+        # attribute-less nodes (the common case in article bodies).
+        by_tag: dict = {}
+        universal: list = []
+        for k, chain in enumerate(chains):
+            if not chain:
+                continue
+            simple = chain[0] if len(chain) == 1 else None
+            last = simple if simple is not None else chain[-1]
+            item = (k, chain, simple, bool(last[1]))
+            if last[0]:
+                by_tag.setdefault(last[0], []).append(item)
+            else:
+                universal.append(item)
+        empty: tuple = ()
         for node in self.iter_elements():
-            for k, chain in enumerate(chains):
-                if not chain:
-                    continue
-                simple = simple_only[k]
-                if simple is not None:
-                    if _matches_simple(node, simple):
+            has_attrs = bool(node.attrs)
+            for bucket in (by_tag.get(node.name, empty), universal):
+                for k, chain, simple, needs_attrs in bucket:
+                    if needs_attrs and not has_attrs:
+                        continue
+                    if simple is not None:
+                        if _matches_simple(node, simple):
+                            results[k].append(node)
+                    elif _matches_chain(node, chain):
                         results[k].append(node)
-                elif _matches_chain(node, chain):
-                    results[k].append(node)
         return results
 
     # ------------------------------------------------------------------ repr
