@@ -51,7 +51,8 @@ ROOT = "root"
 class Node:
     """One DOM node: an element, a text run, a comment, or the document root."""
 
-    __slots__ = ("kind", "name", "attrs", "children", "parent", "data")
+    __slots__ = ("kind", "name", "attrs", "children", "parent", "data",
+                 "_elems", "_classes")
 
     def __init__(
         self,
@@ -66,20 +67,39 @@ class Node:
         self.children: List[Node] = []
         self.parent: Optional[Node] = None
         self.data = data
+        self._elems: Optional[List["Node"]] = None  # cached element order
+        self._classes: Optional[List[str]] = None   # cached class tokens
 
     # ------------------------------------------------------------------ tree
+    def _invalidate(self) -> None:
+        """Clear cached element lists on this node and every ancestor —
+        called on any tree mutation."""
+        n: Optional[Node] = self
+        while n is not None:
+            n._elems = None
+            n = n.parent
+
     def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+        self._invalidate()
+
+    def _append_fast(self, child: "Node") -> None:
+        """Builder-only append: during initial parse no element-order caches
+        exist anywhere in the tree, so the invalidation walk is skipped."""
         child.parent = self
         self.children.append(child)
 
     def decompose(self) -> None:
         """Detach this subtree from its parent (bs4 ``decompose`` analog)."""
         if self.parent is not None:
+            parent = self.parent
             try:
-                self.parent.children.remove(self)
+                parent.children.remove(self)
             except ValueError:
                 pass
             self.parent = None
+            parent._invalidate()
 
     def extract(self) -> "Node":
         """Detach and return this node (bs4 ``extract`` analog)."""
@@ -87,13 +107,19 @@ class Node:
         return self
 
     def iter_elements(self) -> Iterator["Node"]:
-        """All descendant element nodes in document order (excl. self)."""
-        stack = list(reversed(self.children))
-        while stack:
-            node = stack.pop()
-            if node.kind == TAG:
-                yield node
-            stack.extend(reversed(node.children))
+        """All descendant element nodes in document order (excl. self).
+        The list is cached; any append/decompose under this node invalidates
+        the cache on the whole ancestor chain."""
+        if self._elems is None:
+            out: List[Node] = []
+            stack = list(reversed(self.children))
+            while stack:
+                node = stack.pop()
+                if node.kind == TAG:
+                    out.append(node)
+                stack.extend(reversed(node.children))
+            self._elems = out
+        return iter(self._elems)
 
     def iter_strings(self, include_comments: bool = False) -> Iterator[str]:
         """All descendant text-node strings in document order."""
@@ -129,7 +155,9 @@ class Node:
 
     @property
     def classes(self) -> List[str]:
-        return (self.attrs.get("class") or "").split()
+        if self._classes is None:
+            self._classes = (self.attrs.get("class") or "").split()
+        return self._classes
 
     # ------------------------------------------------------------------ text
     def get_text(self, separator: str = "", strip: bool = False) -> str:
@@ -426,7 +454,7 @@ class _TreeBuilder(HTMLParser):
         for k, v in node.attrs.items():
             if v is None:
                 node.attrs[k] = ""
-        self.stack[-1].append(node)
+        self.stack[-1]._append_fast(node)
         if tag not in VOID_ELEMENTS:
             self.stack.append(node)
 
@@ -435,7 +463,7 @@ class _TreeBuilder(HTMLParser):
         for k, v in node.attrs.items():
             if v is None:
                 node.attrs[k] = ""
-        self.stack[-1].append(node)
+        self.stack[-1]._append_fast(node)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
@@ -448,10 +476,10 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if data:
-            self.stack[-1].append(Node(TEXT, data=data))
+            self.stack[-1]._append_fast(Node(TEXT, data=data))
 
     def handle_comment(self, data: str) -> None:
-        self.stack[-1].append(Node(COMMENT, data=data))
+        self.stack[-1]._append_fast(Node(COMMENT, data=data))
 
     def handle_decl(self, decl: str) -> None:  # <!DOCTYPE html> — ignore
         pass
