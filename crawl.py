@@ -30,8 +30,24 @@ def cmd_extract(args) -> None:
     cfg = EngineConfig.from_env()
     spark = get_spark("crawl-extract")
     pages = read_pages(spark, args.pages)
+    opts = cfg.extract_opts
+    if args.rule or args.selector:
+        # CustomExtractor surface (cli analog of add_rule/add_selector)
+        from crawler_engine_spark.operators.custom import CustomExtractor
+
+        ex = CustomExtractor(opts)
+        for spec in args.rule or []:
+            name, _, rest = spec.partition(":")
+            selector, _, prio = rest.rpartition(":")
+            if not selector:  # no priority given
+                selector, prio = rest, "10"
+            ex.add_rule(name, selector, priority=int(prio))
+        for sel in args.selector or []:
+            ex.add_selector(sel)
+        opts = ex.options()
+        args.mode = "rule_based"
     results = extract_pages(
-        pages, mode=args.mode or cfg.mode, query=args.query, opts=cfg.extract_opts
+        pages, mode=args.mode or cfg.mode, query=args.query, opts=opts
     )
     if args.schema_template:
         results = shape_results(results, args.schema_template)
@@ -103,6 +119,42 @@ def cmd_crawl(args) -> None:
     spark.stop()
 
 
+_ENV_TEMPLATE = """\
+# crawler_engine_spark configuration (reference knob names, env.example parity)
+INTELLIGENT_EXTRACTOR_STRATEGY=adaptive
+INTELLIGENT_EXTRACTOR_RELEVANCE_THRESHOLD=0.6
+INTELLIGENT_EXTRACTOR_CONFIDENCE_THRESHOLD=0.7
+INTELLIGENT_EXTRACTOR_MIN_CONTENT_LENGTH=100
+INTELLIGENT_EXTRACTOR_REMOVE_ADS=true
+INTELLIGENT_EXTRACTOR_REMOVE_NAVIGATION=true
+INTELLIGENT_EXTRACTOR_ENABLE_HIDDEN_CONTENT=true
+INTELLIGENT_EXTRACTOR_EXTRACT_TABLES=true
+INTELLIGENT_EXTRACTOR_EXTRACT_LISTS=true
+INTELLIGENT_EXTRACTOR_EXTRACT_FORMS=false
+INTELLIGENT_EXTRACTOR_EXTRACT_LINKS=true
+INTELLIGENT_EXTRACTOR_EXTRACT_IMAGES=false
+INTELLIGENT_EXTRACTOR_REQUESTS_PER_SECOND=2.0
+INTELLIGENT_EXTRACTOR_DELAY_BETWEEN_REQUESTS=0.5
+# engine-specific (frontier)
+CRAWL_ROUND_SECONDS=10.0
+CRAWL_NUM_SALTS=8
+CRAWL_BLOOM_PARTITIONS=32
+CRAWL_BLOOM_BITS=1048576
+CRAWL_MAX_ROUNDS=100
+"""
+
+
+def cmd_init(args) -> None:
+    """Write a config template (reference cli.py:320-342 `init`)."""
+    path = args.out or ".env"
+    if os.path.exists(path) and not args.force:
+        print(json.dumps({"command": "init", "error": f"{path} exists (use --force)"}))
+        sys.exit(1)
+    with open(path, "w") as f:
+        f.write(_ENV_TEMPLATE)
+    print(json.dumps({"command": "init", "out": path}))
+
+
 def cmd_doctor(args) -> None:
     """Smoke checks (reference cli.py:345-376 'doctor')."""
     import pyspark
@@ -134,6 +186,11 @@ def main() -> None:
     pe.add_argument("--format", default="parquet",
                     choices=["parquet", "json", "markdown", "text", "html"])
     pe.add_argument("--schema-template", help="{placeholder} output template")
+    pe.add_argument("--rule", action="append",
+                    help="custom rule name:selector[:priority] (repeatable; "
+                         "forces rule_based mode, cli analog of add_rule)")
+    pe.add_argument("--selector", action="append",
+                    help="custom content selector (repeatable)")
     pe.set_defaults(fn=cmd_extract)
 
     ps = sub.add_parser("scrape", help="page metadata scrape (meta tags, ld+json, stats)")
@@ -152,6 +209,11 @@ def main() -> None:
 
     pd_ = sub.add_parser("doctor", help="dependency / smoke checks")
     pd_.set_defaults(fn=cmd_doctor)
+
+    pi = sub.add_parser("init", help="write a config template (.env)")
+    pi.add_argument("--out")
+    pi.add_argument("--force", action="store_true")
+    pi.set_defaults(fn=cmd_init)
 
     args = p.parse_args()
     args.fn(args)
