@@ -44,10 +44,16 @@ BENCH_QUERIES = [
     "minhash_near_dup",
     "simhash",
     "embedding_topk",
+    "embedding_topk_ivf",
+    "media_features",
     "pricing_summary",
     "revenue_by_segment",
     "extract_structured",
     "extract_adaptive",
+    "extract_semantic",
+    "extract_rule_based",
+    "extract_hybrid",
+    "extract_custom",
 ]
 
 
