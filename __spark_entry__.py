@@ -132,13 +132,21 @@ def q_politeness_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_batch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: batch success summary over events."""
+    """A1: batch success summary over events.
+
+    The average is computed as an exact decimal sum divided by the count so
+    the pre-round double is independent of partition/accumulation order
+    (plain ``avg(double)`` can differ from a sequential engine in the last
+    ulp and flip a 4-decimal rounding boundary at larger SFs)."""
     e = _t(spark, sf_dir, "events")
+    avg_stable = (
+        F.sum(F.col("value").cast("decimal(38,12)")).cast("double") / F.count("*")
+    )
     return e.agg(
         F.count("*").alias("total"),
         F.countDistinct("user_id").alias("n_users"),
         F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("clicks"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(avg_stable, 4).alias("avg_value"),
     )
 
 
@@ -164,12 +172,14 @@ def q_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: per-source lineage metrics."""
+    """A8: per-source lineage metrics (order-insensitive average: exact long
+    sum divided by count; n_chars sums stay far below 2^53)."""
     d = _t(spark, sf_dir, "documents")
+    avg_stable = F.sum("n_chars").cast("double") / F.count("*")
     return d.groupBy("source").agg(
         F.count("*").alias("docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.round(avg_stable, 4).alias("avg_chars"),
     )
 
 
@@ -626,11 +636,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM c)
             SELECT host, canonical_url, rank FROM r WHERE rank <= 5
         """,
+        # SUM over integers is CAST to BIGINT: DuckDB's integer SUM returns
+        # HUGEINT, which lands in pandas as float64 and hash-mismatches the
+        # Spark long (the round-1 failure). The average mirrors the engine's
+        # order-insensitive decimal-sum/count formulation.
         "batch_summary": """
             SELECT COUNT(*) AS total,
                    COUNT(DISTINCT user_id) AS n_users,
-                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
-                   ROUND(AVG(value), 4) AS avg_value
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS clicks,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 4) AS avg_value
             FROM events
         """,
         "strategy_running_avg": """
@@ -648,8 +664,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "partition_metrics": """
-            SELECT source, COUNT(*) AS docs, SUM(n_chars) AS total_chars,
-                   ROUND(AVG(n_chars), 4) AS avg_chars
+            SELECT source, COUNT(*) AS docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+                   ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
             FROM documents GROUP BY source
         """,
         "topk_orders": """

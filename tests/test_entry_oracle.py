@@ -27,17 +27,30 @@ def ddb():
 
 
 def _norm(v):
+    """Type-tagged normalization: the driver value-hashes results, so an
+    int64 on one side vs a float64 on the other must FAIL here too (Python's
+    ``2006 == 2006.0`` let the round-1 HUGEINT→float64 mismatch slip by)."""
     import decimal
 
+    import numpy as np
+
+    if isinstance(v, np.integer):
+        v = int(v)
+    if isinstance(v, np.floating):
+        v = float(v)
     if isinstance(v, decimal.Decimal):
         v = float(v)
+    if isinstance(v, np.bool_):
+        v = bool(v)
+    if isinstance(v, bool):
+        return ("b", v)
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return round(v, 4)
-    if isinstance(v, bool):
-        return bool(v)
-    return v
+            return ("f", "nan")
+        return ("f", round(v, 4))
+    if isinstance(v, int):
+        return ("i", v)
+    return ("o", v)
 
 
 def _rowset(rows, columns):
@@ -67,9 +80,11 @@ def test_query_matches_oracle(spark, ddb, name):
     spark_rows = sdf.collect()
     spark_cols = sdf.columns
 
-    res = ddb.execute(ORACLES[name])
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    # Fetch through pandas (like the driver) so DuckDB dtype quirks — e.g.
+    # integer SUM → HUGEINT → float64 — surface here instead of in CI.
+    ddf = ddb.execute(ORACLES[name]).df()
+    duck_cols = list(ddf.columns)
+    duck_rows = [tuple(r) for r in ddf.itertuples(index=False)]
 
     assert sorted(c.lower() for c in spark_cols) == sorted(c.lower() for c in duck_cols), name
     assert len(spark_rows) == len(duck_rows), f"{name}: row count"
