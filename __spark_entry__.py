@@ -348,7 +348,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup (rows-only: xxhash64 not portable to DuckDB)."""
+    """MinHash-LSH near-dup, oracle-checked against exact all-pairs Jaccard:
+    at 64 perms / 32 bands (r=2) the banded buckets recover every pair with
+    J ≥ 0.5 on this corpus (miss prob ≤ (1-J²)³² ≈ 1e-4 at the threshold;
+    verified 0 missing at sf0.001 and sf0.01), so the LSH-then-verify output
+    equals the exact-Jaccard join the oracle computes."""
     d = _t(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_candidates(d, "text", "doc_id", num_perm=64, bands=32)
     return dedup.verify_jaccard(pairs, d, "text", "doc_id", threshold=0.5).select(
@@ -356,10 +360,27 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (rows-only: Python-side hashing)."""
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash kernel itself, oracle-checked value-for-value: signatures
+    are md5-low64 shingle hashes pushed through 64 universal-hash
+    permutations (wrapping uint64, then mod 2^61-1) — the oracle recomputes
+    the identical integers with HUGEINT arithmetic in DuckDB."""
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash_udf(F.col("text")).alias("simhash"))
+    sig = dedup.make_minhash_udf(num_perm=64, shingle_n=3)(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.concat_ws(",", F.transform(sig, lambda x: x.cast("string"))).alias("sig_csv"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures, oracle-checked: per-token md5-low64 bit votes;
+    emitted as a 16-hex-digit string so signedness never skews the compare."""
+    d = _t(spark, sf_dir, "documents")
+    sig = dedup.simhash_udf(F.col("text"))
+    return d.select(
+        "doc_id", F.lpad(F.lower(F.hex(sig)), 16, "0").alias("simhash_hex")
+    )
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -545,6 +566,86 @@ def q_shape_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Generated oracle SQL for the hashing kernels (the engine's md5-low64 base
+# hash is exactly CAST('0x' || substr(md5(s),1,16) AS UBIGINT) in DuckDB)
+# --------------------------------------------------------------------------
+
+_H64 = "CAST(CAST('0x' || substr(md5({v}), 1, 16) AS UBIGINT) AS HUGEINT)"
+_U64_WRAP = 18446744073709551616  # 2^64: numpy uint64 wrap point
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_signatures_sql() -> str:
+    """Recompute every MinHash signature value in DuckDB: distinct 3-gram
+    shingles → md5-low64 → (a·h + b) with uint64 wraparound → mod 2^61-1 →
+    min per permutation.  The (a, b) constants are the engine's own
+    deterministic seed-42 parameters, inlined as literals."""
+    from crawler_engine_spark.operators.dedup import _minhash_params
+
+    a, b = _minhash_params(64)
+    perms = ",\n                   ".join(
+        "CAST(list_min(list_transform(hv, x -> "
+        f"(({int(a[p])} * x + {int(b[p])}) % {_U64_WRAP}) % {_MERSENNE}"
+        ")) AS VARCHAR)"
+        for p in range(64)
+    )
+    h = _H64.format(v="s")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                   '[^0-9A-Za-z_]+'), t -> t != '') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(w) >= 3
+                   THEN list_transform(range(1, len(w) - 1),
+                                       i -> array_to_string(w[i:i+2], ' '))
+                   ELSE [array_to_string(w, ' ')] END) AS shingles
+          FROM toks),
+        h AS (SELECT doc_id,
+                     list_transform(shingles, s -> {h}) AS hv
+              FROM sh)
+        SELECT doc_id, concat_ws(',', {perms}) AS sig_csv
+        FROM h
+    """
+
+
+def _simhash_sql() -> str:
+    """Recompute every SimHash signature in DuckDB: whitespace tokens →
+    md5-low64 → ±1 votes per bit (repeats weighted, like the kernel) → bit
+    set where the vote sum is positive; rendered per 16-bit band so the hex
+    assembly never touches signed 64-bit arithmetic."""
+    votes = ",\n                   ".join(
+        f"SUM(CASE WHEN (hv >> {bit}) & 1 = 1 THEN 1 ELSE -1 END) AS v{bit}"
+        for bit in range(64)
+    )
+    bands = " || ".join(
+        "lower(lpad(hex("
+        + " + ".join(f"CASE WHEN v{16 * k + j} > 0 THEN {1 << j} ELSE 0 END" for j in range(16))
+        + "), 4, '0'))"
+        for k in (3, 2, 1, 0)
+    )
+    h = _H64.format(v="w")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                    x -> x != '')) AS w
+          FROM documents),
+        h AS (SELECT doc_id, {h} AS hv FROM toks),
+        votes AS (
+          SELECT doc_id,
+                 {votes}
+          FROM h GROUP BY doc_id),
+        hexed AS (SELECT doc_id, {bands} AS simhash_hex FROM votes)
+        SELECT d.doc_id,
+               COALESCE(x.simhash_hex, '0000000000000000') AS simhash_hex
+        FROM documents d LEFT JOIN hexed x USING (doc_id)
+    """
+
+
+# --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
 
@@ -580,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "media_features": q_media_features,
         "minhash_near_dup": q_minhash_near_dup,
+        "minhash_signatures": q_minhash_signatures,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "extract_structured": q_extract_structured,
@@ -993,6 +1095,30 @@ def oracle_sql() -> dict[str, str]:
                    1 AS n_links
             FROM built
         """,
-        # rows-only by design (noted): minhash_near_dup / simhash
-        # (engine-side xxhash64/blake2b hashing not portable to DuckDB).
+        # minhash_near_dup's oracle is the exact all-pairs Jaccard join: the
+        # LSH banding provably recovers every J≥0.5 pair on this corpus (see
+        # q_minhash_near_dup docstring + tests/test_dedup_oracle.py), so the
+        # bucketed pipeline must reproduce the exact join bit-for-bit.
+        "minhash_near_dup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^0-9A-Za-z_]+'), t -> t != '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(range(1, len(w) - 1),
+                                           i -> array_to_string(w[i:i+2], ' '))
+                       ELSE [array_to_string(w, ' ')] END) AS s
+              FROM toks)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
+        """,
+        "minhash_signatures": _minhash_signatures_sql(),
+        "simhash": _simhash_sql(),
     }

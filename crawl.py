@@ -22,12 +22,23 @@ from crawler_engine_spark.config import EngineConfig
 from crawler_engine_spark.session import get_spark
 
 
+def _parse_rule(spec: str) -> tuple[str, str, int]:
+    """Parse ``name:selector[:priority]``.  The priority suffix is only
+    split off when it is all digits, so selectors containing ':' (attribute
+    values like [data-x="a:b"], pseudo-classes) survive intact."""
+    name, _, rest = spec.partition(":")
+    selector, sep, prio = rest.rpartition(":")
+    if sep and prio.isdigit():
+        return name, selector, int(prio)
+    return name, rest, 10
+
+
 def cmd_extract(args) -> None:
     from crawler_engine_spark.operators.extraction import extract_pages
     from crawler_engine_spark.operators.shaping import shape_results
     from crawler_engine_spark.sources.sinks import read_pages, write_results
 
-    cfg = EngineConfig.from_env()
+    cfg = EngineConfig.load(args.config)
     spark = get_spark("crawl-extract")
     pages = read_pages(spark, args.pages)
     opts = cfg.extract_opts
@@ -37,14 +48,15 @@ def cmd_extract(args) -> None:
 
         ex = CustomExtractor(opts)
         for spec in args.rule or []:
-            name, _, rest = spec.partition(":")
-            selector, _, prio = rest.rpartition(":")
-            if not selector:  # no priority given
-                selector, prio = rest, "10"
-            ex.add_rule(name, selector, priority=int(prio))
+            name, selector, prio = _parse_rule(spec)
+            ex.add_rule(name, selector, priority=prio)
         for sel in args.selector or []:
             ex.add_selector(sel)
         opts = ex.options()
+        if args.mode and args.mode != "rule_based":
+            print(json.dumps({"warning": f"--rule/--selector force rule_based mode "
+                                         f"(explicit --mode {args.mode} ignored)"}),
+                  file=sys.stderr)
         args.mode = "rule_based"
     results = extract_pages(
         pages, mode=args.mode or cfg.mode, query=args.query, opts=opts
@@ -73,7 +85,7 @@ def cmd_crawl(args) -> None:
 
     from crawler_engine_spark.frontier.rounds import CrawlConfig, CrawlEngine
 
-    cfg = EngineConfig.from_env()
+    cfg = EngineConfig.load(args.config)
     spark = get_spark("crawl-rounds")
     if args.robots:
         robots = spark.read.parquet(args.robots)
@@ -145,14 +157,27 @@ CRAWL_MAX_ROUNDS=100
 
 
 def cmd_init(args) -> None:
-    """Write a config template (reference cli.py:320-342 `init`)."""
-    path = args.out or ".env"
+    """Write a config template (reference cli.py:320-342 `init`): .env,
+    yaml, or json — the yaml/json templates round-trip through
+    ``EngineConfig.from_file`` (--config)."""
+    fmt = args.format or "env"
+    path = args.out or {"env": ".env", "yaml": "config.yaml", "json": "config.json"}[fmt]
     if os.path.exists(path) and not args.force:
         print(json.dumps({"command": "init", "error": f"{path} exists (use --force)"}))
         sys.exit(1)
+    if fmt == "env":
+        body = _ENV_TEMPLATE
+    else:
+        data = EngineConfig().to_dict()
+        if fmt == "yaml":
+            import yaml
+
+            body = yaml.safe_dump(data, sort_keys=False)
+        else:
+            body = json.dumps(data, indent=2) + "\n"
     with open(path, "w") as f:
-        f.write(_ENV_TEMPLATE)
-    print(json.dumps({"command": "init", "out": path}))
+        f.write(body)
+    print(json.dumps({"command": "init", "out": path, "format": fmt}))
 
 
 def cmd_doctor(args) -> None:
@@ -181,6 +206,7 @@ def main() -> None:
     pe = sub.add_parser("extract", help="one-shot extraction over a page store")
     pe.add_argument("--pages", required=True)
     pe.add_argument("--out", required=True)
+    pe.add_argument("--config", help="yaml/json config file (overrides env)")
     pe.add_argument("--mode", choices=["adaptive", "semantic", "structured", "rule_based", "hybrid"])
     pe.add_argument("--query")
     pe.add_argument("--format", default="parquet",
@@ -205,13 +231,15 @@ def main() -> None:
     pc.add_argument("--robots", help="parquet with host,disallow_prefixes,crawl_delay_s")
     pc.add_argument("--rounds", type=int, default=5)
     pc.add_argument("--round-seconds", type=float)
+    pc.add_argument("--config", help="yaml/json config file (overrides env)")
     pc.set_defaults(fn=cmd_crawl)
 
     pd_ = sub.add_parser("doctor", help="dependency / smoke checks")
     pd_.set_defaults(fn=cmd_doctor)
 
-    pi = sub.add_parser("init", help="write a config template (.env)")
+    pi = sub.add_parser("init", help="write a config template (.env/yaml/json)")
     pi.add_argument("--out")
+    pi.add_argument("--format", choices=["env", "yaml", "json"])
     pi.add_argument("--force", action="store_true")
     pi.set_defaults(fn=cmd_init)
 

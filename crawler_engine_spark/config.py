@@ -1,16 +1,24 @@
 """Engine configuration mirroring the reference's knob names.
 
 The reference loads ``ExtractorConfig`` from env vars prefixed
-``INTELLIGENT_EXTRACTOR_*`` (models/config.py:248-394); this engine accepts
-the same names where they have a distributed analog, plus crawl-specific
-knobs.  AI/browser knobs have no analog in fetch-simulate mode and are
-intentionally absent.
+``INTELLIGENT_EXTRACTOR_*`` (models/config.py:248-394) and from yaml/json
+files with sectioned keys (models/config.py:323-394 ``from_file`` /
+``from_dict``); this engine accepts the same names where they have a
+distributed analog, plus crawl-specific knobs.  AI/browser knobs have no
+analog in fetch-simulate mode and are intentionally absent.
+
+Precedence matches the reference: an explicit config file overrides env
+(``EngineConfig.load(path)`` starts from ``from_env()`` and applies the
+file's keys on top; keys absent from the file keep their env/default
+values).
 """
 
 from __future__ import annotations
 
+import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
+from typing import Any, Mapping
 
 from .kernels.extract import ExtractOptions
 
@@ -82,3 +90,79 @@ class EngineConfig:
             mode=mode,
             extract_opts=opts,
         )
+
+    # -- file / dict loaders (reference models/config.py:323-394) ----------
+
+    _EXTRACT_OPT_KEYS = (
+        "relevance_threshold", "confidence_threshold", "min_content_length",
+        "remove_ads", "remove_navigation", "enable_hidden_content_handling",
+        "extract_tables", "extract_lists", "extract_forms", "extract_links",
+        "extract_images",
+    )
+    _PERF_KEYS = ("requests_per_second", "delay_between_requests")
+    _CRAWL_KEYS = (
+        "round_seconds", "num_salts", "bloom_partitions",
+        "bloom_bits_per_segment", "max_rounds",
+    )
+
+    @classmethod
+    def from_dict(cls, data: Mapping[str, Any], base: "EngineConfig" | None = None) -> "EngineConfig":
+        """Sectioned dict → config, overriding ``base`` (defaults if None).
+
+        Sections mirror the reference's ``from_dict``: ``extraction``
+        (strategy + kernel thresholds/toggles), ``performance`` (politeness
+        rates), plus this engine's ``crawl`` section.  Unknown sections and
+        keys are ignored, like the reference."""
+        cfg = base if base is not None else cls()
+        ex = dict(data.get("extraction") or {})
+        if "strategy" in ex:
+            cfg = replace(cfg, mode=ex["strategy"] or None)
+        opt_overrides = {k: ex[k] for k in cls._EXTRACT_OPT_KEYS if k in ex}
+        if opt_overrides:
+            cfg = replace(cfg, extract_opts=replace(cfg.extract_opts, **opt_overrides))
+        perf = dict(data.get("performance") or {})
+        cfg = replace(cfg, **{k: perf[k] for k in cls._PERF_KEYS if k in perf})
+        crawl = dict(data.get("crawl") or {})
+        cfg = replace(cfg, **{k: crawl[k] for k in cls._CRAWL_KEYS if k in crawl})
+        return cfg
+
+    @classmethod
+    def from_file(cls, filepath: str, base: "EngineConfig" | None = None) -> "EngineConfig":
+        """yaml/json config file → config (suffix-dispatched, like the
+        reference's ``from_file``)."""
+        lower = filepath.lower()
+        if lower.endswith((".yaml", ".yml")):
+            try:
+                import yaml
+            except ImportError as exc:  # pragma: no cover - yaml is bundled
+                raise ValueError(
+                    f"pyyaml is required to load {filepath}; use a .json config"
+                ) from exc
+            with open(filepath, encoding="utf-8") as f:
+                data = yaml.safe_load(f) or {}
+        elif lower.endswith(".json"):
+            with open(filepath, encoding="utf-8") as f:
+                data = json.load(f)
+        else:
+            raise ValueError(f"Unsupported configuration file format: {filepath}")
+        return cls.from_dict(data, base=base)
+
+    @classmethod
+    def load(cls, config_file: str | None = None) -> "EngineConfig":
+        """The CLI entrypoint: env first, then the file's keys on top."""
+        cfg = cls.from_env()
+        if config_file:
+            cfg = cls.from_file(config_file, base=cfg)
+        return cfg
+
+    def to_dict(self) -> dict:
+        """Sectioned dict that round-trips through from_dict (scalar knobs
+        only — selector tuples are CLI/API surface, not file config)."""
+        return {
+            "extraction": {
+                "strategy": self.mode,
+                **{k: getattr(self.extract_opts, k) for k in self._EXTRACT_OPT_KEYS},
+            },
+            "performance": {k: getattr(self, k) for k in self._PERF_KEYS},
+            "crawl": {k: getattr(self, k) for k in self._CRAWL_KEYS},
+        }

@@ -109,9 +109,21 @@ def _shingle_set(text: str, n: int) -> List[str]:
     return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
 
 
+def md5_low64(s: str) -> int:
+    """First 8 bytes of md5 as an unsigned big-endian int — the shared base
+    hash for MinHash/SimHash.  Chosen over xxhash/siphash because every SQL
+    engine exposes md5: the DuckDB oracle recomputes the identical value as
+    ``CAST('0x' || substr(md5(s), 1, 16) AS UBIGINT)``, which makes the
+    signatures externally falsifiable instead of self-certified."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
 def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
-    """Arrow-batched numpy MinHash: one blake2b per distinct shingle, then
-    all permutations as vectorized universal hashes (a·h + b mod p)."""
+    """Arrow-batched numpy MinHash: one md5 per distinct shingle, then all
+    permutations as vectorized universal hashes (a·h + b in wrapping uint64,
+    then mod the Mersenne prime 2^61-1)."""
     a, b = _minhash_params(num_perm, seed)
 
     @pandas_udf(T.ArrayType(T.LongType()))
@@ -123,10 +135,12 @@ def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
                 if not sh:
                     out.append([0] * num_perm)
                     continue
-                # C-level keyed siphash over all shingles at once
-                # (deterministic: pandas' fixed default hash key)
-                h = pd.util.hash_array(np.array(list(sh), dtype=object))
-                # universal hash family over the Mersenne prime 2^61-1
+                h = np.fromiter(
+                    (md5_low64(s) for s in sh), dtype=np.uint64, count=len(sh)
+                )
+                # universal hash family; the a·h+b wraps mod 2^64 (numpy
+                # uint64 semantics) before the Mersenne-prime reduction —
+                # the oracle mirrors this with HUGEINT arithmetic
                 vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MINHASH_PRIME)
                 sig = vals.min(axis=1).astype(np.int64)
                 out.append(sig.tolist())
@@ -135,7 +149,45 @@ def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
     return minhash
 
 
-def minhash_lsh_candidates(
+def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop rows belonging to degenerate LSH buckets (> max_bucket_size
+    members): a single pathological bucket — e.g. thousands of near-empty
+    documents sharing a signature band — otherwise goes quadratic inside the
+    self-join.  The window runs on the same (band, bucket) partitioning as
+    the join, so no extra shuffle is introduced.  Use lsh_bucket_stats() to
+    observe how many buckets/rows a given cap skips."""
+    if max_bucket_size is None:
+        return banded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "bucket")
+    return (
+        banded.withColumn("_n", F.count("*").over(w))
+        .where(F.col("_n") <= max_bucket_size)
+        .drop("_n")
+    )
+
+
+def lsh_bucket_stats(banded: DataFrame, max_bucket_size: int | None = None) -> dict:
+    """Bucket-size distribution of a banded projection: the skipped-bucket
+    counter that makes a cap observable (total/skipped buckets + rows and
+    the largest bucket)."""
+    agg = banded.groupBy("band", "bucket").agg(F.count("*").alias("n"))
+    row = agg.agg(
+        F.count("*").alias("buckets"),
+        F.max("n").alias("max_bucket"),
+        F.sum("n").alias("rows"),
+        F.sum(F.when(F.col("n") > (max_bucket_size or 2**62), 1).otherwise(0)).alias(
+            "skipped_buckets"
+        ),
+        F.sum(
+            F.when(F.col("n") > (max_bucket_size or 2**62), F.col("n")).otherwise(0)
+        ).alias("skipped_rows"),
+    ).first()
+    return {k: (int(row[k]) if row[k] is not None else 0) for k in row.asDict()}
+
+
+def minhash_banded(
     df: DataFrame,
     text_col: str,
     id_col: str,
@@ -143,18 +195,14 @@ def minhash_lsh_candidates(
     bands: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs via banded MinHash buckets.
-
-    rows/band r = num_perm/bands; collision prob ≈ 1-(1-J^r)^b.  Returns
-    (id_a, id_b) with id_a < id_b, deduplicated across bands.
-    """
+    """(_id, band, bucket) banded projection of MinHash signatures."""
     assert num_perm % bands == 0
     r = num_perm // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
         make_minhash_udf(num_perm, shingle_n)(F.col(text_col)).alias("_sig"),
     )
-    banded = sig.select(
+    return sig.select(
         "_id",
         F.explode(
             F.array(
@@ -173,9 +221,27 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash buckets.
+
+    rows/band r = num_perm/bands; collision prob ≈ 1-(1-J^r)^b.  Returns
+    (id_a, id_b) with id_a < id_b, deduplicated across bands.
+    max_bucket_size caps degenerate buckets (see _cap_buckets).
+    """
+    banded = minhash_banded(df, text_col, id_col, num_perm, bands, shingle_n)
     # Self-join below would otherwise evaluate the signature UDF on BOTH
     # sides; materialize the (small) banded projection once.
-    banded = banded.localCheckpoint(eager=False)
+    banded = _cap_buckets(banded, max_bucket_size).localCheckpoint(eager=False)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -259,15 +325,8 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
         toks = [w for w in str(t).lower().split() if w]
         if not toks:
             continue
-        hashes = np.array(
-            [
-                int.from_bytes(
-                    __import__("hashlib").blake2b(w.encode(), digest_size=8).digest(),
-                    "little",
-                )
-                for w in toks
-            ],
-            dtype=np.uint64,
+        hashes = np.fromiter(
+            (md5_low64(w) for w in toks), dtype=np.uint64, count=len(toks)
         )
         bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
         votes = bits.sum(axis=0) * 2 - len(toks)
@@ -284,9 +343,15 @@ def simhash_udf(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         yield _simhash_batch(batch)
 
 
-def simhash_candidates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
     """Near-dup candidates where Hamming(sig_a, sig_b) ≤ 3: by pigeonhole at
-    least one of the four 16-bit bands is equal — bucket-join on bands."""
+    least one of the four 16-bit bands is equal — bucket-join on bands.
+    max_bucket_size caps degenerate buckets (see _cap_buckets)."""
     sig = df.select(F.col(id_col).alias("_id"), simhash_udf(F.col(text_col)).alias("_sig"))
     banded = sig.select(
         "_id",
@@ -302,8 +367,9 @@ def simhash_candidates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("_id", "_sig", "bb.band", "bb.chunk")
-    banded = banded.localCheckpoint(eager=False)
+    ).select("_id", "_sig", "bb.band", F.col("bb.chunk").alias("bucket"))
+    banded = _cap_buckets(banded, max_bucket_size)
+    banded = banded.withColumnRenamed("bucket", "chunk").localCheckpoint(eager=False)
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
         l.join(

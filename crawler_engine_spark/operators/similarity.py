@@ -10,10 +10,12 @@
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Iterator, List, Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame, functions as F
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.functions import pandas_udf
 
 from .dedup import _hyperplanes, cosine_col, embedding_bucket_col
 
@@ -94,9 +96,17 @@ def build_ivf_centroids(
     return centroids.tolist()
 
 
+# Above this many cells the unrolled when-chain expression explodes (both
+# plan size and codegen), so assignment switches to the vectorized UDF.
+IVF_EXPR_MAX_CELLS = 32
+
+
 def ivf_assign_col(emb_col, centroids: List[List[float]]):
     """Nearest-centroid cell id as a column expression (argmin over squared
-    distances, unrolled — centroid count is small by design)."""
+    distances, unrolled).  Correct for small centroid counts only — for
+    n_cells > IVF_EXPR_MAX_CELLS use make_ivf_assign_udf (this chain grows
+    one nested when() per centroid and stalls Catalyst/codegen at hundreds
+    of cells)."""
     best_id = F.lit(0)
     best_d = None
     for cid, c in enumerate(centroids):
@@ -114,6 +124,36 @@ def ivf_assign_col(emb_col, centroids: List[List[float]]):
     return best_id
 
 
+def make_ivf_assign_udf(centroids: List[List[float]]):
+    """Arrow-batched nearest-centroid assignment: one BLAS matmul per batch
+    via argmin(-2·X·Cᵀ + ‖c‖²) — equivalent to squared-distance argmin
+    because ‖x‖² is constant per row — so memory is O(batch × cells), never
+    O(batch × cells × dim).  This is the production path for large
+    n_cells; ties resolve to the lowest cell id, same as the expression."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    c_norm2 = (cents**2).sum(axis=1)
+
+    @pandas_udf(T.IntegerType())
+    def assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in it:
+            if len(batch) == 0:
+                yield pd.Series([], dtype="int32")
+                continue
+            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in batch])
+            scores = -2.0 * (mat @ cents.T) + c_norm2[None, :]
+            yield pd.Series(scores.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_assign(emb_col, centroids: List[List[float]]):
+    """Dispatch: unrolled expression for small centroid sets (stays in
+    whole-stage codegen), vectorized pandas UDF beyond IVF_EXPR_MAX_CELLS."""
+    if len(centroids) <= IVF_EXPR_MAX_CELLS:
+        return ivf_assign_col(emb_col, centroids)
+    return make_ivf_assign_udf(centroids)(emb_col)
+
+
 def cosine_topk_ivf(
     df: DataFrame,
     emb_col: str,
@@ -128,7 +168,7 @@ def cosine_topk_ivf(
     q = np.asarray(list(query), dtype=float)
     cents = np.array(centroids, dtype=float)
     order = np.argsort(((cents - q) ** 2).sum(1))[:n_probe].tolist()
-    scoped = df.withColumn("_cell", ivf_assign_col(F.col(emb_col), centroids)).where(
+    scoped = df.withColumn("_cell", ivf_assign(F.col(emb_col), centroids)).where(
         F.col("_cell").isin([int(c) for c in order])
     )
     return cosine_topk_brute(scoped, emb_col, id_col, query, k)

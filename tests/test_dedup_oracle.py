@@ -1,0 +1,172 @@
+"""Independent oracles for the hashing dedup kernels.
+
+Round-1 left MinHash/SimHash self-certified (`no_oracle`).  These tests
+falsify them from outside the engine:
+
+* signatures are recomputed with a SECOND implementation — plain Python
+  loops over hashlib.md5, no numpy broadcasting, no engine kernels — and
+  compared exactly;
+* the LSH-recall precondition behind the exact-Jaccard DuckDB oracle of
+  `minhash_near_dup` is asserted (banding loses no J ≥ 0.5 pair on the
+  test corpus);
+* the degenerate-bucket guards are exercised on an adversarial corpus
+  (hundreds of identical documents) and shown to bound the candidate set,
+  with the skipped-bucket counter surfacing what was dropped.
+"""
+
+import hashlib
+import itertools
+import re
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from crawler_engine_spark.operators import dedup
+
+SF_DIR = "/root/testdata/sf0.001"
+
+MERSENNE = (1 << 61) - 1
+U64 = 1 << 64
+
+
+def _docs(limit=100):
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet").to_pydict()
+    return list(zip(tbl["doc_id"], tbl["text"]))[:limit]
+
+
+# -- independent reimplementations (loops + hashlib only) -------------------
+
+
+def _oracle_h64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+
+
+def _oracle_shingles(text: str, n: int = 3) -> set:
+    toks = [t for t in re.split(r"[^\w]+", (text or "").lower()) if t]
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _oracle_minhash(text: str, num_perm: int = 64) -> list:
+    rng = np.random.RandomState(42)
+    a = [int(x) for x in rng.randint(1, MERSENNE, size=num_perm)]
+    b = [int(x) for x in rng.randint(0, MERSENNE, size=num_perm)]
+    hs = [_oracle_h64(s) for s in _oracle_shingles(text)]
+    if not hs:
+        return [0] * num_perm
+    sig = []
+    for p in range(num_perm):
+        best = None
+        for h in hs:
+            v = ((a[p] * h + b[p]) % U64) % MERSENNE
+            if best is None or v < best:
+                best = v
+        sig.append(best)
+    return sig
+
+
+def _oracle_simhash(text: str) -> int:
+    toks = [w for w in str(text or "").lower().split() if w]
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for w in toks:
+        h = _oracle_h64(w)
+        for bit in range(64):
+            votes[bit] += 1 if (h >> bit) & 1 else -1
+    sig = 0
+    for bit in range(64):
+        if votes[bit] > 0:
+            sig |= 1 << bit
+    if sig >= 1 << 63:  # engine emits signed int64
+        sig -= 1 << 64
+    return sig
+
+
+# -- tests ------------------------------------------------------------------
+
+
+def test_minhash_signatures_match_independent_oracle(spark):
+    docs = _docs(100)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: list(r["sig"])
+        for r in df.select(
+            "doc_id", dedup.make_minhash_udf(64, 3)(F.col("text")).alias("sig")
+        ).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == _oracle_minhash(text), f"doc {doc_id}"
+
+
+def test_simhash_matches_independent_oracle(spark):
+    docs = _docs(100)
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", dedup.simhash_udf(F.col("text")).alias("sig")
+        ).collect()
+    }
+    for doc_id, text in docs:
+        assert got[doc_id] == _oracle_simhash(text), f"doc {doc_id}"
+
+
+def test_lsh_recall_complete_on_test_corpus(spark):
+    """Precondition of the exact-Jaccard DuckDB oracle for minhash_near_dup:
+    the banded buckets (64 perms / 32 bands) must recover EVERY pair with
+    exact Jaccard ≥ 0.5 — otherwise the oracle equivalence breaks."""
+    docs = _docs(500)
+    sh = {i: _oracle_shingles(t) for i, t in docs}
+    want = set()
+    for (i, _), (j, _) in itertools.combinations(docs, 2):
+        a, b = min(i, j), max(i, j)
+        union = sh[a] | sh[b]
+        if union and len(sh[a] & sh[b]) / len(union) >= 0.5:
+            want.add((a, b))
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    cand = dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=64, bands=32)
+    got = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert want <= got, f"LSH missed {sorted(want - got)[:5]}"
+
+
+@pytest.fixture()
+def degenerate_corpus(spark):
+    """300 identical short docs (every band collides) + 20 distinct docs."""
+    rows = [(i, "spam spam spam spam wonderful spam") for i in range(300)]
+    rows += [(1000 + i, f"unique document number {i} with words {i * 7} and {i * 13}")
+             for i in range(20)]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark, degenerate_corpus):
+    uncapped = dedup.minhash_lsh_candidates(
+        degenerate_corpus, "text", "doc_id", num_perm=64, bands=32
+    )
+    capped = dedup.minhash_lsh_candidates(
+        degenerate_corpus, "text", "doc_id", num_perm=64, bands=32,
+        max_bucket_size=50,
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 300 * 299 // 2  # quadratic blow-up without the guard
+    assert n_cap <= 50 * 49 // 2 * 32  # every surviving bucket is bounded
+    assert n_cap < n_un / 10
+
+    banded = dedup.minhash_banded(degenerate_corpus, "text", "doc_id", 64, 32)
+    stats = dedup.lsh_bucket_stats(banded, max_bucket_size=50)
+    assert stats["skipped_buckets"] >= 32  # the identical-doc bucket per band
+    assert stats["skipped_rows"] >= 300 * 32
+    assert stats["max_bucket"] >= 300
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(spark, degenerate_corpus):
+    uncapped = dedup.simhash_candidates(degenerate_corpus, "text", "doc_id")
+    capped = dedup.simhash_candidates(
+        degenerate_corpus, "text", "doc_id", max_bucket_size=50
+    )
+    n_un, n_cap = uncapped.count(), capped.count()
+    assert n_un >= 300 * 299 // 2
+    assert n_cap < n_un / 10

@@ -158,6 +158,40 @@ def test_cosine_topk_ivf(spark, embs):
     assert rows[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
 
 
+def test_ivf_large_cell_count_uses_udf_and_stays_exact(spark, embs):
+    """n_cells=256 goes down the vectorized-UDF assignment path (the
+    unrolled expression would explode); probing every cell must still
+    reproduce the exact brute-force top-k."""
+    df = embs.cache()
+    query = df.first()["embedding"]
+    centroids = similarity.build_ivf_centroids(df, "embedding", n_cells=256, sample=512)
+    assert len(centroids) > similarity.IVF_EXPR_MAX_CELLS
+    brute = similarity.cosine_topk_brute(df, "embedding", "vec_id", query, k=10).collect()
+    ivf = similarity.cosine_topk_ivf(
+        df, "embedding", "vec_id", query, centroids, k=10, n_probe=len(centroids)
+    ).collect()
+    assert [r["vec_id"] for r in ivf] == [r["vec_id"] for r in brute]
+    ivf_pruned = similarity.cosine_topk_ivf(
+        df, "embedding", "vec_id", query, centroids, k=5, n_probe=16
+    ).collect()
+    assert ivf_pruned[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ivf_udf_assignment_matches_expression(spark, embs):
+    """The BLAS-matmul UDF and the unrolled expression are the same argmin —
+    per-row cell ids agree on real embeddings."""
+    df = embs.limit(300).cache()
+    centroids = similarity.build_ivf_centroids(df, "embedding", n_cells=16, sample=256)
+    expr = df.select(
+        "vec_id", similarity.ivf_assign_col(F.col("embedding"), centroids).alias("cell")
+    ).collect()
+    udf = df.select(
+        "vec_id",
+        similarity.make_ivf_assign_udf(centroids)(F.col("embedding")).alias("cell"),
+    ).collect()
+    assert {r["vec_id"]: r["cell"] for r in expr} == {r["vec_id"]: r["cell"] for r in udf}
+
+
 # --------------------------------------------------------------- textstats
 
 

@@ -150,6 +150,52 @@ def test_engine_config_from_env(monkeypatch):
     assert cfg.round_seconds == 42.0
 
 
+def test_engine_config_file_overrides_env(monkeypatch, tmp_path):
+    """Reference precedence (models/config.py:323-394): file beats env;
+    keys absent from the file keep env values."""
+    monkeypatch.setenv("INTELLIGENT_EXTRACTOR_STRATEGY", "semantic")
+    monkeypatch.setenv("INTELLIGENT_EXTRACTOR_MIN_CONTENT_LENGTH", "77")
+    monkeypatch.setenv("CRAWL_NUM_SALTS", "4")
+    cfg_file = tmp_path / "engine.json"
+    cfg_file.write_text(json.dumps({
+        "extraction": {"strategy": "structured", "relevance_threshold": 0.25},
+        "performance": {"requests_per_second": 9.5},
+    }))
+    cfg = EngineConfig.load(str(cfg_file))
+    assert cfg.mode == "structured"              # file wins
+    assert cfg.extract_opts.relevance_threshold == 0.25
+    assert cfg.requests_per_second == 9.5
+    assert cfg.extract_opts.min_content_length == 77  # env survives
+    assert cfg.num_salts == 4
+
+
+def test_engine_config_yaml_roundtrip(tmp_path):
+    yaml = pytest.importorskip("yaml")
+    base = EngineConfig()
+    cfg_file = tmp_path / "engine.yaml"
+    cfg_file.write_text(yaml.safe_dump(base.to_dict()))
+    loaded = EngineConfig.from_file(str(cfg_file))
+    assert loaded == base
+
+
+def test_engine_config_rejects_unknown_suffix(tmp_path):
+    p = tmp_path / "engine.toml"
+    p.write_text("")
+    with pytest.raises(ValueError, match="Unsupported configuration"):
+        EngineConfig.from_file(str(p))
+
+
+def test_cli_rule_parsing_handles_colons():
+    sys.path.insert(0, REPO)
+    from crawl import _parse_rule
+
+    assert _parse_rule("body:article.main:3") == ("body", "article.main", 3)
+    assert _parse_rule("body:article.main") == ("body", "article.main", 10)
+    assert _parse_rule('x:[data-x="a:b"]') == ("x", '[data-x="a:b"]', 10)
+    assert _parse_rule('x:[data-x="a:b"]:7') == ("x", '[data-x="a:b"]', 7)
+    assert _parse_rule("x:a:not(.y)") == ("x", "a:not(.y)", 10)
+
+
 # --------------------------------------------------------------------- CLI
 
 
