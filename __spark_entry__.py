@@ -555,6 +555,22 @@ def q_scrape_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shape_schema_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 dict-schema shaping: ``output_format={...}`` projects extracted
+    fields into a JSON object (schema key order, typed casts, nulls for
+    unknown keys) — the deterministic subset of the reference's
+    object-schema path (ai_client.py:736-758)."""
+    from crawler_engine_spark.operators.shaping import shape_results
+
+    res = extract_pages(_doc_pages(spark, sf_dir), mode="structured")
+    shaped = shape_results(
+        res,
+        {"title": "string", "word_count": "number", "url": "string",
+         "author": "string"},
+    )
+    return shaped.select("url", "formatted_data")
+
+
 def q_shape_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 schema shaping: SafeDict {placeholder} template rendering over
     extraction results, as pure column expressions."""
@@ -693,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_outlinks": q_extract_outlinks,
         "scrape_meta": q_scrape_meta,
         "shape_template": q_shape_template,
+        "shape_schema_json": q_shape_schema_json,
     }
 
 
@@ -1024,6 +1041,29 @@ def oracle_sql() -> dict[str, str]:
                      || 'https://docs.example/d/' || CAST(doc_id AS VARCHAR)
                      || ' :: {missing}' AS formatted_data
             FROM documents
+        """,
+        # shape_schema_json: the JSON object is rebuilt literally — schema
+        # key order, number cast rendered with a trailing .0 (Jackson double
+        # formatting), null for the unmatched 'author' key.
+        "shape_schema_json": r"""
+            WITH base AS (
+              SELECT doc_id, source,
+                     'Doc ' || CAST(doc_id AS VARCHAR) || ' '
+                       || trim(regexp_replace(text, '\s+', ' ', 'g'))
+                       || ' alpha ' || source || ' next' AS txt
+              FROM documents),
+            built AS (
+              SELECT doc_id,
+                     txt || chr(10) || chr(10) || 'Lists found: 1'
+                         || chr(10) || chr(10) || 'Links found: 1' AS content
+              FROM base)
+            SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+                   '{"title":"Doc ' || CAST(doc_id AS VARCHAR)
+                     || '","word_count":'
+                     || CAST(len(regexp_split_to_array(content, '\s+')) AS VARCHAR)
+                     || '.0,"url":"https://docs.example/d/' || CAST(doc_id AS VARCHAR)
+                     || '","author":null}' AS formatted_data
+            FROM built
         """,
         # quality_score: the heuristic is pure column arithmetic; the oracle
         # mirrors the exact term order of textstats.quality_score_col so the

@@ -53,6 +53,11 @@ FRONTIER_SCHEMA = (
     "depth int, parent_seq long, link_position int, query string"
 )
 
+# Checkpoint layout version, stamped into the round-0 commit record.  Bump
+# when the on-disk layout changes incompatibly (v2: seen_delta carries the
+# fetched log incl. 'depth'; the v1 per-round 'fetched' dir is gone).
+STATE_FORMAT_VERSION = 2
+
 
 @dataclass
 class CrawlConfig:
@@ -90,6 +95,23 @@ class CrawlEngine:
             num_partitions=config.bloom_partitions,
             bits_per_segment=config.bloom_bits_per_segment,
         )
+        self._check_state_format()
+
+    def _check_state_format(self) -> None:
+        """Fail fast when resuming a state_dir written by an incompatible
+        checkpoint layout (e.g. the pre-v2 layout with a separate 'fetched'
+        dir and no 'depth' column in seen_delta) instead of mis-reading it."""
+        if self.last_committed() < 0:
+            return
+        rec = self._read_commit(0)
+        found = rec.get("format_version")
+        if found != STATE_FORMAT_VERSION:
+            raise RuntimeError(
+                f"state_dir {self.state_dir!r} uses checkpoint format "
+                f"{found!r}; this engine reads format {STATE_FORMAT_VERSION}. "
+                "Re-crawl into a fresh state_dir (cross-version resume is "
+                "not supported)."
+            )
 
     # ------------------------------------------------------------- layout
     def _round_dir(self, k: int) -> str:
@@ -144,7 +166,11 @@ class CrawlEngine:
         frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
         os.makedirs(os.path.join(rd, "bloom"), exist_ok=True)
         with open(self._commit_path(0), "w") as f:
-            json.dump({"round": 0, "fetched": 0, "total_fetched": 0}, f)
+            json.dump(
+                {"round": 0, "fetched": 0, "total_fetched": 0,
+                 "format_version": STATE_FORMAT_VERSION},
+                f,
+            )
 
     # -------------------------------------------------------------- round
     def _read_frontier(self, k: int) -> DataFrame:

@@ -109,7 +109,16 @@ class Node:
     def iter_elements(self) -> Iterator["Node"]:
         """All descendant element nodes in document order (excl. self).
         The list is cached; any append/decompose under this node invalidates
-        the cache on the whole ancestor chain."""
+        the cache on the whole ancestor chain.
+
+        SNAPSHOT SEMANTICS: the returned iterator walks the list as cached
+        at call time — decomposing nodes *while iterating* keeps yielding
+        the already-detached nodes (unlike a lazy generator, which would
+        skip their subtrees).  All engine callers collect-then-mutate;
+        new callers that mutate mid-iteration must materialize first and
+        re-query after.  Likewise the per-node class-token cache assumes
+        ``attrs['class']`` is never mutated in place — mutate via a fresh
+        parse or new nodes."""
         if self._elems is None:
             out: List[Node] = []
             stack = list(reversed(self.children))

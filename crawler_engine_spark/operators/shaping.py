@@ -63,11 +63,62 @@ def render_template_col(template: str, result: DataFrame) -> Column:
     return F.concat(*parts) if parts else F.lit("")
 
 
+def schema_struct_col(schema: dict, result: DataFrame) -> Column:
+    """Deterministic dict-schema projection (the no-AI realization of the
+    reference's object-schema path, ai_client.py:736-758): each schema key
+    is filled from the like-named extracted column, cast per the declared
+    type (``string`` / ``number`` / ``list``); nested dict values recurse;
+    keys with no matching column become typed nulls — 'fill missing fields
+    with best-effort from the content' without a model call."""
+    cols = set(result.columns)
+    fields = []
+    for key, typ in schema.items():
+        if isinstance(typ, dict):
+            fields.append(schema_struct_col(typ, result).alias(key))
+            continue
+        if key in cols:
+            c = F.col(key)
+            if typ == "number":
+                c = c.cast("double")
+            elif typ == "string":
+                c = c.cast("string")
+            fields.append(c.alias(key))
+        else:
+            null_type = "double" if typ == "number" else (
+                "array<string>" if typ == "list" else "string"
+            )
+            fields.append(F.lit(None).cast(null_type).alias(key))
+    return F.struct(*fields)
+
+
 def shape_results(result: DataFrame, output_format=None) -> DataFrame:
     """Apply the deterministic format_to_schema subset to an extraction
     result DataFrame; adds a ``formatted_data`` column."""
     if output_format is None or output_format in ("string", "raw"):
         return result.withColumn("formatted_data", F.col("content"))
+    if isinstance(output_format, dict):
+        # JSON object matching the schema, key order preserved; nulls kept
+        # so the object always carries exactly the schema's keys.
+        return result.withColumn(
+            "formatted_data",
+            F.to_json(
+                schema_struct_col(output_format, result),
+                {"ignoreNullFields": "false"},
+            ),
+        )
+    if isinstance(output_format, list) and len(output_format) == 1 and isinstance(
+        output_format[0], dict
+    ):
+        # [schema] → JSON array (reference list-schema intent); the
+        # deterministic subset emits the per-page projection as a
+        # one-element array.
+        return result.withColumn(
+            "formatted_data",
+            F.to_json(
+                F.array(schema_struct_col(output_format[0], result)),
+                {"ignoreNullFields": "false"},
+            ),
+        )
     if isinstance(output_format, str) and _PLACEHOLDER_RE.search(output_format):
         return result.withColumn(
             "formatted_data", render_template_col(output_format, result)

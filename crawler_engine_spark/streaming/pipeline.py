@@ -60,17 +60,25 @@ def stream_politeness_admit(
     refill_per_batch: float = 5.0,
     capacity: float = 10.0,
     max_files_per_trigger: int = 1,
+    max_pending: int = 10_000,
 ) -> DataFrame:
     """Continuous per-host politeness: a token-bucket admission controller as
     a custom stateful operator (``applyInPandasWithState``), the streaming
     analog of the batch engine's W5 window + token table
     (frontier/politeness.py).
 
-    State per host: remaining tokens.  Each micro-batch the bucket refills by
-    ``refill_per_batch`` (capped at ``capacity``), admits up to
-    ``floor(tokens)`` candidates in deterministic ``url_hash`` order, and
-    carries the remainder across batches — hosts that sit idle accumulate
-    burst allowance exactly like the batch token table with burst_rounds > 1.
+    State per host: remaining tokens PLUS the queue of not-yet-admitted
+    candidates.  Each micro-batch the bucket refills by ``refill_per_batch``
+    (capped at ``capacity``), merges queued candidates with new arrivals,
+    admits up to ``floor(tokens)`` in deterministic ``url_hash`` order
+    (``admitted = true``), and carries the rest in state for the next
+    trigger — throttled candidates are re-considered, never dropped.  The
+    queue is bounded by ``max_pending``; overflow rows are emitted with
+    ``admitted = false`` so the caller can re-queue them explicitly (no
+    silent loss).  A host whose queue is non-empty drains further only when
+    it next appears in a micro-batch (NoTimeout semantics); continuous
+    deployments that need idle-host draining should feed periodic empty
+    heartbeat candidates or use a processing-time timeout variant.
     """
     import math
 
@@ -79,18 +87,45 @@ def stream_politeness_admit(
 
     def admit(key, pdfs, state: GroupState):
         (host,) = key
-        tokens = state.get[0] if state.exists else 0.0
-        rows = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            tokens, p_urls, p_hashes = state.get
+            pending = pd.DataFrame(
+                {
+                    "canonical_url": pd.Series(list(p_urls or []), dtype="object"),
+                    "url_hash": pd.Series(list(p_hashes or []), dtype="int64"),
+                }
+            )
+        else:
+            tokens = 0.0
+            pending = pd.DataFrame(
+                {
+                    "canonical_url": pd.Series([], dtype="object"),
+                    "url_hash": pd.Series([], dtype="int64"),
+                }
+            )
+        arrivals = [p[["canonical_url", "url_hash"]] for p in pdfs]
+        rows = pd.concat([pending] + arrivals, ignore_index=True)
         rows = rows.sort_values("url_hash", kind="mergesort")
-        tokens = min(float(capacity), tokens + float(refill_per_batch))
+        tokens = min(float(capacity), float(tokens) + float(refill_per_batch))
         n = int(min(len(rows), math.floor(tokens)))
         admitted = rows.iloc[:n]
-        state.update((tokens - n,))
+        rest = rows.iloc[n:]
+        keep = rest.iloc[:max_pending]
+        overflow = rest.iloc[max_pending:]
+        state.update(
+            (
+                tokens - n,
+                keep["canonical_url"].tolist(),
+                [int(x) for x in keep["url_hash"]],
+            )
+        )
         yield pd.DataFrame(
             {
-                "host": admitted["host"],
-                "canonical_url": admitted["canonical_url"],
-                "tokens_left": [float(tokens - n)] * n,
+                "host": [host] * (n + len(overflow)),
+                "canonical_url": list(admitted["canonical_url"])
+                + list(overflow["canonical_url"]),
+                "tokens_left": [float(tokens - n)] * (n + len(overflow)),
+                "admitted": [True] * n + [False] * len(overflow),
             }
         )
 
@@ -101,8 +136,12 @@ def stream_politeness_admit(
     )
     return candidates.groupBy("host").applyInPandasWithState(
         admit,
-        outputStructType="host string, canonical_url string, tokens_left double",
-        stateStructType="tokens double",
+        outputStructType=(
+            "host string, canonical_url string, tokens_left double, admitted boolean"
+        ),
+        stateStructType=(
+            "tokens double, pending_urls array<string>, pending_hashes array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -177,6 +177,31 @@ def test_resume_exact_state(spark, world, oracle):
     assert got_seen == sim_seen
 
 
+def test_resume_rejects_foreign_state_format(spark, world):
+    """A state_dir written by an older checkpoint layout (no/other
+    format_version in the round-0 commit) fails fast on resume instead of
+    silently mis-reading it."""
+    import json
+
+    eng = _make_engine(spark, world, "state_fmt")
+    eng.run(max_rounds=1)
+    commit0 = eng._commit_path(0)
+    with open(commit0) as f:
+        rec = json.load(f)
+    rec.pop("format_version")
+    with open(commit0, "w") as f:
+        json.dump(rec, f)
+    with pytest.raises(RuntimeError, match="checkpoint format"):
+        CrawlEngine(
+            spark,
+            state_dir=eng.state_dir,
+            pages_path=world["pages_path"],
+            robots=world["robots_df"],
+            config=CrawlConfig(round_seconds=ROUND_SECONDS, bloom_partitions=8,
+                               bloom_bits_per_segment=1 << 16),
+        )
+
+
 def test_bloom_no_false_negatives(spark, world, engine_run):
     """Everything in the exact seen set must be flagged maybe_seen by the
     bloom segments (no false negatives — the exactness precondition)."""

@@ -80,8 +80,28 @@ def test_shape_results_raw_and_template(spark):
     assert raw == "body"
     tpl = shaping.shape_results(df, "# {title}\n{content}").first()["formatted_data"]
     assert tpl == "# T\nbody"
-    fallback = shaping.shape_results(df, {"k": "v"}).first()["formatted_data"]
+    fallback = shaping.shape_results(df, 42).first()["formatted_data"]
     assert fallback == "body"  # deterministic fallback = raw content
+
+
+def test_shape_results_dict_schema(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "content": ["body text here"], "title": ["T"], "url": ["u"],
+            "word_count": [3],
+        })
+    )
+    schema = {"title": "string", "word_count": "number", "author": "string"}
+    out = shaping.shape_results(df, schema).first()["formatted_data"]
+    assert out == '{"title":"T","word_count":3.0,"author":null}'
+    # nested schema recurses; unknown nested keys become nulls
+    nested = shaping.shape_results(
+        df, {"meta": {"title": "string", "lang": "string"}, "url": "string"}
+    ).first()["formatted_data"]
+    assert nested == '{"meta":{"title":"T","lang":null},"url":"u"}'
+    # [schema] → one-element JSON array of the projection
+    arr = shaping.shape_results(df, [{"title": "string"}]).first()["formatted_data"]
+    assert arr == '[{"title":"T"}]'
 
 
 # ------------------------------------------------------------------- sinks
@@ -252,7 +272,94 @@ def test_stream_politeness_token_bucket_state(spark, tmp_path):
     for r in rows:
         by_host[r["host"]].append(r)
     assert len(by_host["h.example"]) == 12
+    assert all(r["admitted"] for r in rows)
     lefts = sorted({round(r["tokens_left"], 1) for r in by_host["h.example"]})
     # tokens_left after each batch: 1.0, 2.0, 3.0 — proof of cross-batch carry
     assert lefts == [1.0, 2.0, 3.0], lefts
     assert len(by_host["quiet.example"]) == 3
+
+
+def test_stream_politeness_carries_throttled_candidates(spark, tmp_path):
+    """Over-budget path (refill < arrivals): candidates beyond the batch
+    budget are queued in state and admitted at later triggers in url_hash
+    order — throttling defers, it must not drop."""
+    import pandas as pd
+
+    from crawler_engine_spark.streaming.pipeline import stream_politeness_admit
+
+    cand_dir = tmp_path / "cand"
+    cand_dir.mkdir()
+    for b in range(3):
+        pd.DataFrame(
+            {
+                "host": ["hot.example"] * 4,
+                "canonical_url": [f"https://hot.example/p{b}_{i}" for i in range(4)],
+                "url_hash": list(range(b * 10, b * 10 + 4)),
+            }
+        ).to_parquet(cand_dir / f"batch{b}.parquet")
+
+    admitted = stream_politeness_admit(
+        spark, str(cand_dir), refill_per_batch=2.0, capacity=10.0
+    )
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    # 12 arrivals, budget 2/batch over 3 batches → exactly 6 admitted, and
+    # they are the deterministic queue order: batch-0's four first (two per
+    # trigger), then batch-1's first two.  Nothing emitted unadmitted (the
+    # rest is still queued in state, not lost).
+    assert len(rows) == 6
+    assert all(r["admitted"] for r in rows)
+    got = sorted(r["canonical_url"] for r in rows)
+    want = sorted(
+        [f"https://hot.example/p0_{i}" for i in range(4)]
+        + ["https://hot.example/p1_0", "https://hot.example/p1_1"]
+    )
+    assert got == want
+
+
+def test_stream_politeness_overflow_emitted_unadmitted(spark, tmp_path):
+    """A bounded pending queue never loses rows silently: overflow beyond
+    max_pending is emitted with admitted=false for caller-side re-queue."""
+    import pandas as pd
+
+    from crawler_engine_spark.streaming.pipeline import stream_politeness_admit
+
+    cand_dir = tmp_path / "cand"
+    cand_dir.mkdir()
+    pd.DataFrame(
+        {
+            "host": ["h.example"] * 8,
+            "canonical_url": [f"https://h.example/p{i}" for i in range(8)],
+            "url_hash": list(range(8)),
+        }
+    ).to_parquet(cand_dir / "batch0.parquet")
+
+    admitted = stream_politeness_admit(
+        spark, str(cand_dir), refill_per_batch=2.0, capacity=10.0, max_pending=3
+    )
+    q = (
+        admitted.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    # 8 arrivals: 2 admitted, 3 queued in state, 3 overflow → visible split
+    admitted_rows = [r for r in rows if r["admitted"]]
+    overflow_rows = [r for r in rows if not r["admitted"]]
+    assert len(admitted_rows) == 2
+    assert len(overflow_rows) == 3
+    assert sorted(r["canonical_url"] for r in admitted_rows) == [
+        "https://h.example/p0", "https://h.example/p1",
+    ]
