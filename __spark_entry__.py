@@ -499,6 +499,28 @@ def q_extract_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 rule-performance stats as a distributed aggregation: per-rule
+    usage counts over the rule-based extraction lineage (the groupBy
+    replacement for the reference's per-process counters,
+    rule_based_strategy.py:550-574).  On this template article_content
+    fires for >50-char texts; paragraph_content re-fires for 51..100."""
+    res = extract_pages(_doc_pages(spark, sf_dir), mode="rule_based")
+    return (
+        res.select(F.explode("applied_rules").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("usage_count"))
+    )
+
+
+def q_rule_most_used(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 argmax: the most-used rule (max_by analog via top-1 ordering)."""
+    stats = q_rule_stats(spark, sf_dir)
+    return (
+        stats.orderBy(F.col("usage_count").desc(), F.col("rule").asc()).limit(1)
+    )
+
+
 def q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5: link extraction + resolution through the kernel, oracle-checked."""
     pages = _doc_pages(spark, sf_dir)
@@ -706,6 +728,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_rule_based": q_extract_rule_based,
         "extract_hybrid": q_extract_hybrid,
         "extract_custom": q_extract_custom,
+        "rule_stats": q_rule_stats,
+        "rule_most_used": q_rule_most_used,
         "extract_outlinks": q_extract_outlinks,
         "scrape_meta": q_scrape_meta,
         "shape_template": q_shape_template,
@@ -936,6 +960,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
                    'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS out_link
             FROM documents
+        """,
+        "rule_stats": """
+            WITH r AS (
+              SELECT unnest(CASE
+                       WHEN length(text) > 100 THEN ['article_content']
+                       WHEN length(text) > 50
+                         THEN ['article_content', 'paragraph_content']
+                       ELSE [] END) AS rule
+              FROM documents)
+            SELECT rule, COUNT(*) AS usage_count FROM r GROUP BY rule
+        """,
+        "rule_most_used": """
+            WITH r AS (
+              SELECT unnest(CASE
+                       WHEN length(text) > 100 THEN ['article_content']
+                       WHEN length(text) > 50
+                         THEN ['article_content', 'paragraph_content']
+                       ELSE [] END) AS rule
+              FROM documents)
+            SELECT rule, COUNT(*) AS usage_count FROM r GROUP BY rule
+            ORDER BY usage_count DESC, rule ASC LIMIT 1
         """,
         "extract_custom": r"""
             WITH base AS (

@@ -197,6 +197,126 @@ def run_scaling() -> dict:
     return json.loads(line)
 
 
+def run_scaleup(spark) -> dict:
+    """Data-volume scaling at fixed parallelism (local[CPUS]): the same
+    extraction pipeline over a 1x and a 4x corpus.  SCALE.md's round-wall
+    model says wall time is data-dominated once fixed job overhead is
+    amortized — linearity = (sec_4x / sec_1x) / 4 ≈ 1 evidences that (< 1
+    means the 1x run still carries amortizable overhead)."""
+    import shutil
+    import tempfile
+
+    from crawler_engine_spark.data.gen import gen_pages_df
+    from crawler_engine_spark.operators.extraction import extract_pages
+
+    base = int(os.environ.get("BENCH_SCALEUP_PAGES", "25000"))
+    tmp = tempfile.mkdtemp(prefix="bench_scaleup_")
+    out = {}
+    try:
+        secs = {}
+        for mult in (1, 4):
+            path = os.path.join(tmp, f"pages{mult}")
+            gen_pages_df(spark, base * mult, partitions=CPUS).write.parquet(path)
+            pages = spark.read.parquet(path)
+            _materialize(extract_pages(pages.limit(200), mode="structured"))  # warm
+            secs[mult] = _timed(
+                lambda: _materialize(extract_pages(pages, mode="structured"))
+            )
+            out[f"{mult}x"] = {
+                "pages": base * mult,
+                "seconds": round(secs[mult], 2),
+                "pages_per_sec": round(base * mult / secs[mult], 1),
+            }
+        out["linearity"] = round((secs[4] / secs[1]) / 4.0, 3)
+        return out
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _skewed_frontier(spark, n_rows: int, hot_share: float, budget: int):
+    from pyspark.sql import functions as F
+
+    hot = int(n_rows * hot_share)
+    host = (
+        F.when(F.col("id") < hot, F.lit("hot.example"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("id") % 2000).cast("string"), F.lit(".example"))
+        )
+    )
+    return spark.range(n_rows).select(
+        host.alias("host"),
+        F.concat(F.lit("https://x/"), F.col("id").cast("string")).alias("canonical_url"),
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        F.lit(0).alias("depth"),
+        F.col("id").cast("long").alias("parent_seq"),
+        F.lit(0).alias("link_position"),
+        F.lit(budget).alias("host_budget"),
+    )
+
+
+def run_skew(spark) -> dict:
+    """The SURVEY §4.2 hot-host scenario measured: one host owns 30% of the
+    frontier.  Times the salted two-phase politeness selection against the
+    naive single window over host (identical output, proven by the
+    politeness_select oracle query) and reports the per-reducer row bound
+    that determines the straggler task."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from crawler_engine_spark.frontier import politeness
+
+    # 12M rows: the smallest size on this host where the hot host's single
+    # sorted reducer visibly straggles (below ~4M the two-phase overhead
+    # and the straggler cost cancel; the reducer-rows bound is the at-scale
+    # signal either way).
+    n_rows = int(os.environ.get("BENCH_SKEW_ROWS", "12000000"))
+    budget = 50
+    df = _skewed_frontier(spark, n_rows, 0.3, budget).cache()
+    df.count()
+
+    order = [F.col(c).asc() for c in politeness.PRIORITY_COLS] + [
+        F.col("url_hash").asc()
+    ]
+
+    def plain():
+        w = Window.partitionBy("host").orderBy(*order)
+        _materialize(
+            df.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= F.col("host_budget"))
+            .drop("_r")
+        )
+
+    def salted():
+        selected, _ = politeness.select_batch(df, num_salts=politeness.DEFAULT_NUM_SALTS)
+        _materialize(selected)
+
+    plain()  # warm both shapes once
+    salted()
+    t_plain = _timed(plain)
+    t_salted = _timed(salted)
+    groups = (
+        df.withColumn(
+            "_salt",
+            F.pmod(F.col("url_hash"), F.lit(politeness.DEFAULT_NUM_SALTS)).cast("int"),
+        )
+        .groupBy("host", "_salt")
+        .count()
+    )
+    max_salted_group = groups.agg(F.max("count")).first()[0]
+    hot_rows = int(n_rows * 0.3)
+    df.unpersist()
+    return {
+        "frontier_rows": n_rows,
+        "hot_host_share": 0.3,
+        "plain_window_sec": round(t_plain, 2),
+        "salted_sec": round(t_salted, 2),
+        "speedup": round(t_plain / t_salted, 2),
+        "max_reducer_rows_plain": hot_rows,
+        "max_reducer_rows_salted": int(max_salted_group),
+        "reducer_bound_ratio": round(hot_rows / max_salted_group, 2),
+    }
+
+
 def run_crawl(spark) -> dict:
     import shutil
     import tempfile
@@ -259,6 +379,8 @@ def main() -> None:
     suite_seconds = round(time.time() - t_suite, 3)
 
     crawl = run_crawl(spark)
+    scaleup = run_scaleup(spark)
+    skew = run_skew(spark)
     spark.stop()
 
     scaling = run_scaling()
@@ -272,6 +394,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_of(SF_DIR),
                 "crawl": crawl,
+                "scaleup": scaleup,
+                "skew": skew,
                 "scaling": scaling,
             }
         )

@@ -131,6 +131,53 @@ def cmd_crawl(args) -> None:
     spark.stop()
 
 
+def cmd_interactive(args) -> None:
+    """Interactive extraction loop (reference cli.py:234-317): prompt for
+    URL / query / mode, extract from the page store, print a summary.
+    Reads stdin line-wise so it works piped as well as at a TTY."""
+    from pyspark.sql import functions as F
+
+    from crawler_engine_spark.operators.extraction import extract_pages
+    from crawler_engine_spark.sources.sinks import read_pages
+
+    cfg = EngineConfig.load(args.config)
+    spark = get_spark("crawl-interactive")
+    pages = read_pages(spark, args.pages).cache()
+
+    def prompt(label: str) -> str | None:
+        if sys.stdin.isatty():
+            print(label, end="", flush=True)
+        line = sys.stdin.readline()
+        if not line:
+            return None
+        return line.strip()
+
+    print("interactive extraction — blank URL exits", file=sys.stderr)
+    while True:
+        url = prompt("URL> ")
+        if not url:
+            break
+        query = prompt("Query (optional)> ") or None
+        mode = prompt("Mode (adaptive/semantic/structured/rule_based/hybrid)> ") or None
+        row = extract_pages(
+            pages.where(F.col("url") == url), mode=mode or cfg.mode, query=query
+        ).first()
+        if row is None:
+            print(json.dumps({"url": url, "error": "url not in page store"}))
+            continue
+        print(json.dumps({
+            "url": row["url"],
+            "success": row["success"],
+            "strategy": row["strategy_name"],
+            "title": row["title"],
+            "word_count": row["word_count"],
+            "confidence": round(row["confidence_score"], 4),
+            "n_links": len(row["out_links"] or []),
+            "content_preview": (row["content"] or "")[:300],
+        }))
+    spark.stop()
+
+
 _ENV_TEMPLATE = """\
 # crawler_engine_spark configuration (reference knob names, env.example parity)
 INTELLIGENT_EXTRACTOR_STRATEGY=adaptive
@@ -236,6 +283,11 @@ def main() -> None:
 
     pd_ = sub.add_parser("doctor", help="dependency / smoke checks")
     pd_.set_defaults(fn=cmd_doctor)
+
+    pint = sub.add_parser("interactive", help="interactive extraction loop")
+    pint.add_argument("--pages", required=True)
+    pint.add_argument("--config", help="yaml/json config file (overrides env)")
+    pint.set_defaults(fn=cmd_interactive)
 
     pi = sub.add_parser("init", help="write a config template (.env/yaml/json)")
     pi.add_argument("--out")

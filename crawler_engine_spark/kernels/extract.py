@@ -607,6 +607,7 @@ def extract_rule_based(
 
     extracted_parts: List[str] = []
     applied_rules = 0
+    applied_rule_names: List[str] = []
     for (_name, _sels, _prio), els in zip(content_rules, rule_matches):
         content_parts: List[str] = []
         for el in els:
@@ -617,6 +618,7 @@ def extract_rule_based(
         if rule_content:
             extracted_parts.append(rule_content)
             applied_rules += 1
+            applied_rule_names.append(_name)
             if len(" ".join(extracted_parts)) > opts.min_content_length:
                 break
 
@@ -684,6 +686,10 @@ def extract_rule_based(
         "completeness_score": min(len(content) / 1000, 1.0),
         "accuracy_score": confidence,
         "success": True,
+        # A5 rule-performance lineage (rule_based_strategy.py:550-574):
+        # which rules contributed, in application order — aggregated
+        # downstream by groupBy('rule') instead of per-process counters.
+        "applied_rules": applied_rule_names,
     }
 
 
@@ -966,5 +972,6 @@ def extract_page(
         "relevance_score": res["relevance_score"],
         "completeness_score": res["completeness_score"],
         "accuracy_score": res["accuracy_score"],
+        "applied_rules": res.get("applied_rules", []),
         "out_links": out_links,
     }

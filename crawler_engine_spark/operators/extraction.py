@@ -132,6 +132,9 @@ EXTRACTION_SCHEMA = T.StructType(
         T.StructField("images", T.ArrayType(IMAGE_TYPE)),
         T.StructField("videos", T.ArrayType(VIDEO_TYPE)),
         T.StructField("out_links", T.ArrayType(T.StringType())),
+        # names of rule-based content rules that contributed (A5 lineage;
+        # empty for other strategies)
+        T.StructField("applied_rules", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -182,6 +185,7 @@ def _row_to_flat(rec: dict) -> dict:
         "images": [tuple(i.values()) for i in sd["images"]],
         "videos": [tuple(v.values()) for v in sd["videos"]],
         "out_links": rec["out_links"],
+        "applied_rules": rec.get("applied_rules", []),
     }
 
 

@@ -177,6 +177,50 @@ def test_resume_exact_state(spark, world, oracle):
     assert got_seen == sim_seen
 
 
+def test_salted_politeness_bounds_skewed_reducer(spark):
+    """SURVEY §4.2 hot-host scenario, structurally: with one host owning 30%
+    of the frontier, the salted two-phase selection (a) still returns
+    exactly the plain per-host top-k, and (b) bounds the largest window
+    reducer group to ~hot/num_salts rows — the straggler-task data bound
+    (no single task can exceed k× the median group when the data it sorts
+    is capped)."""
+    from pyspark.sql import Window
+
+    from crawler_engine_spark.frontier import politeness
+    from bench import _skewed_frontier
+
+    n, budget, salts = 40_000, 20, 8
+    df = _skewed_frontier(spark, n, 0.3, budget).cache()
+    hot = int(n * 0.3)
+
+    selected, remainder = politeness.select_batch(df, num_salts=salts)
+    order = [F.col(c).asc() for c in politeness.PRIORITY_COLS] + [
+        F.col("url_hash").asc()
+    ]
+    w = Window.partitionBy("host").orderBy(*order)
+    plain = (
+        df.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= F.col("host_budget"))
+    )
+    assert {r["canonical_url"] for r in selected.collect()} == {
+        r["canonical_url"] for r in plain.collect()
+    }
+    assert selected.count() + remainder.count() == n
+
+    # reducer bound: the hot host's 12k rows land in one plain window group,
+    # but no salted phase-1 group exceeds ~hot/salts (±hash-balance noise)
+    groups = (
+        df.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salts)).cast("int"))
+        .groupBy("host", "_salt")
+        .count()
+    )
+    counts = [r["count"] for r in groups.collect()]
+    mx = max(counts)
+    assert mx <= (hot / salts) * 1.25, mx
+    assert mx * salts < hot * 1.3  # ~8x smaller than the unsalted group
+    df.unpersist()
+
+
 def test_resume_rejects_foreign_state_format(spark, world):
     """A state_dir written by an older checkpoint layout (no/other
     format_version in the round-0 commit) fails fast on resume instead of

@@ -230,6 +230,28 @@ def test_cli_doctor():
     assert rec["overall"] == "ok"
 
 
+def test_cli_interactive(spark, tmp_path):
+    """interactive loop: piped stdin (url/query/mode triples), one summary
+    JSON per url, unknown url → error record."""
+    from crawler_engine_spark.data import gen
+
+    pages_path = str(tmp_path / "pages")
+    gen.gen_pages_df(spark, 10, partitions=2).write.parquet(pages_path)
+    url = gen.url_of(0)
+    stdin = f"{url}\n\nstructured\nhttps://nope.example/x\n\n\n\n"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "crawl.py"), "interactive",
+         "--pages", pages_path],
+        input=stdin, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    recs = [json.loads(l) for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert len(recs) == 2
+    assert recs[0]["url"] == url and recs[0]["success"]
+    assert recs[0]["strategy"] == "StructuredExtractionStrategy"
+    assert recs[1]["error"] == "url not in page store"
+
+
 def test_stream_politeness_token_bucket_state(spark, tmp_path):
     """Stateful streaming politeness (applyInPandasWithState): tokens carry
     across micro-batches — 12 candidates for one host arriving over three
