@@ -71,6 +71,11 @@ class CrawlConfig:
     # Token-bucket burst capacity in units of one round's refill; 1 ≡ the
     # stateless per-round budget, >1 lets idle hosts accumulate allowance.
     burst_rounds: int = 1
+    # Compact the exact seen set every N committed rounds (0 = never).  The
+    # per-round deltas are kept either way (they are the fetched log /
+    # resume source of truth); compaction only bounds the anti-join's read
+    # fan-in on long crawls.
+    compact_every: int = 0
 
 
 class CrawlEngine:
@@ -179,14 +184,73 @@ class CrawlEngine:
         )
 
     def _read_seen(self, upto_round: int) -> Optional[DataFrame]:
+        """Exact seen set ≤ upto_round: the compacted base (if one covers a
+        prefix of rounds) plus the per-round deltas after it.  Without
+        compaction this unions one parquet dir per round — file-listing and
+        small-file read amplification that grows linearly with crawl length;
+        with it, the union is one consolidated dir + a bounded tail."""
+        c = self.compacted_upto()
+        base = None
+        start = 1
+        if 0 < c <= upto_round:
+            base = self.spark.read.parquet(os.path.join(self._compact_dir(), "data"))
+            start = c + 1
         paths = [
             os.path.join(self._round_dir(k), "seen_delta")
             for k in self.committed_rounds()
-            if 0 < k <= upto_round and os.path.isdir(os.path.join(self._round_dir(k), "seen_delta"))
+            if start <= k <= upto_round
+            and os.path.isdir(os.path.join(self._round_dir(k), "seen_delta"))
         ]
         if not paths:
-            return None
-        return self.spark.read.parquet(*paths)
+            return base
+        deltas = self.spark.read.parquet(*paths)
+        return deltas if base is None else base.unionByName(deltas)
+
+    # -------------------------------------------------------- compaction
+    def _compact_dir(self) -> str:
+        return os.path.join(self.state_dir, "seen_compact")
+
+    def compacted_upto(self) -> int:
+        """Highest round covered by a committed compaction (-1 if none)."""
+        try:
+            with open(os.path.join(self._compact_dir(), "_COMPACT")) as f:
+                return int(json.load(f)["upto_round"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def compact_seen(self, upto_round: Optional[int] = None) -> int:
+        """Consolidate seen deltas ≤ upto_round (default: last committed)
+        into one hash-partitioned parquet dir.
+
+        Incremental (reads the previous compact + only the new tail) and
+        crash-safe: the new compact is fully written to a temp dir BEFORE
+        the old one is swapped out, and readers require the _COMPACT marker
+        — a crash mid-swap just falls back to the per-round deltas (the
+        compact is derived data; the deltas remain the source of truth for
+        fetched_log/resume)."""
+        upto = self.last_committed() if upto_round is None else upto_round
+        if upto <= self.compacted_upto():
+            return self.compacted_upto()
+        seen = self._read_seen(upto)
+        if seen is None:
+            return -1
+        final = self._compact_dir()
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        p = self.cfg.bloom_partitions
+        (
+            seen.repartition(p, F.pmod(F.col("url_hash"), F.lit(p)))
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "data"))
+        )
+        with open(os.path.join(tmp, "_COMPACT"), "w") as f:
+            json.dump({"upto_round": upto,
+                       "format_version": STATE_FORMAT_VERSION}, f)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return upto
 
     def run_round(self, k: int) -> Optional[dict]:
         """Execute round ``k`` (requires round ``k-1`` committed).
@@ -432,6 +496,11 @@ class CrawlEngine:
             if rec is None:
                 break
             records.append(rec)
+            if (
+                self.cfg.compact_every > 0
+                and k - self.compacted_upto() >= self.cfg.compact_every
+            ):
+                self.compact_seen(k)
             k += 1
         return records
 

@@ -177,6 +177,48 @@ def test_resume_exact_state(spark, world, oracle):
     assert got_seen == sim_seen
 
 
+def test_seen_compaction_preserves_semantics(spark, world, oracle):
+    """Compaction is pure read-fan-in optimization: a crawl that compacts
+    after every round yields the identical fetched log and seen set as the
+    oracle, resumes exactly, and _read_seen actually uses the compacted
+    base (only the tail deltas remain in the union)."""
+    import json as _json
+
+    sim_log, sim_seen = oracle
+    state = os.path.join(world["root"], "state_compact")
+    if os.path.isdir(state):
+        shutil.rmtree(state)
+    cfg = CrawlConfig(round_seconds=ROUND_SECONDS, bloom_partitions=8,
+                      bloom_bits_per_segment=1 << 16, compact_every=1)
+    eng = CrawlEngine(spark, state, world["pages_path"], world["robots_df"], cfg)
+    seeds_df = pd.DataFrame(world["seeds"])
+    eng.init_from_seeds(
+        spark.createDataFrame(seeds_df, "url string, seed_rank int, query string")
+    )
+    eng.run(max_rounds=2)
+    assert eng.compacted_upto() == 2
+    with open(os.path.join(eng._compact_dir(), "_COMPACT")) as f:
+        assert _json.load(f)["upto_round"] == 2
+
+    # resume across the compaction boundary with a fresh engine
+    eng2 = CrawlEngine(spark, state, world["pages_path"], world["robots_df"], cfg)
+    eng2.run(max_rounds=2)
+
+    got = (
+        eng2.fetched_log().orderBy("round", "fetch_seq")
+        .select("round", "fetch_seq", "canonical_url").collect()
+    )
+    assert [(r["round"], r["fetch_seq"], r["canonical_url"]) for r in got] == [
+        (f.round, f.fetch_seq, f.url) for f in sim_log
+    ]
+    assert {r["canonical_url"] for r in eng2.seen().collect()} == sim_seen
+
+    # a crash mid-swap (compact dir gone, marker gone) falls back to deltas
+    shutil.rmtree(eng2._compact_dir())
+    assert eng2.compacted_upto() == -1
+    assert {r["canonical_url"] for r in eng2.seen().collect()} == sim_seen
+
+
 def test_salted_politeness_bounds_skewed_reducer(spark):
     """SURVEY §4.2 hot-host scenario, structurally: with one host owning 30%
     of the frontier, the salted two-phase selection (a) still returns
