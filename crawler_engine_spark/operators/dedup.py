@@ -120,31 +120,35 @@ def md5_low64(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
 
 
+def _minhash_batch(
+    texts: pd.Series, a: np.ndarray, b: np.ndarray, shingle_n: int
+) -> pd.Series:
+    """The MinHash kernel body (shared by the UDF and direct tests): one md5
+    per distinct shingle, then all permutations as vectorized universal
+    hashes.  The a·h+b wraps mod 2^64 (numpy uint64 semantics) before the
+    Mersenne-prime reduction — the DuckDB oracle mirrors this with HUGEINT
+    arithmetic."""
+    num_perm = len(a)
+    out = []
+    for text in texts:
+        sh = set(_shingle_set(text, shingle_n))
+        if not sh:
+            out.append([0] * num_perm)
+            continue
+        h = np.fromiter((md5_low64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MINHASH_PRIME)
+        out.append(vals.min(axis=1).astype(np.int64).tolist())
+    return pd.Series(out)
+
+
 def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
-    """Arrow-batched numpy MinHash: one md5 per distinct shingle, then all
-    permutations as vectorized universal hashes (a·h + b in wrapping uint64,
-    then mod the Mersenne prime 2^61-1)."""
+    """Arrow-batched numpy MinHash over the shared kernel body."""
     a, b = _minhash_params(num_perm, seed)
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in texts:
-            out = []
-            for text in batch:
-                sh = set(_shingle_set(text, shingle_n))
-                if not sh:
-                    out.append([0] * num_perm)
-                    continue
-                h = np.fromiter(
-                    (md5_low64(s) for s in sh), dtype=np.uint64, count=len(sh)
-                )
-                # universal hash family; the a·h+b wraps mod 2^64 (numpy
-                # uint64 semantics) before the Mersenne-prime reduction —
-                # the oracle mirrors this with HUGEINT arithmetic
-                vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MINHASH_PRIME)
-                sig = vals.min(axis=1).astype(np.int64)
-                out.append(sig.tolist())
-            yield pd.Series(out)
+            yield _minhash_batch(batch, a, b, shingle_n)
 
     return minhash
 

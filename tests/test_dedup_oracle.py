@@ -170,3 +170,42 @@ def test_simhash_bucket_cap_bounds_degenerate_corpus(spark, degenerate_corpus):
     n_un, n_cap = uncapped.count(), capped.count()
     assert n_un >= 300 * 299 // 2
     assert n_cap < n_un / 10
+
+
+# -- hypothesis fuzz: the kernels must agree with the loop oracles on ------
+# -- arbitrary unicode, not just the synthetic corpus ----------------------
+
+from hypothesis import given, settings, strategies as st
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+).map(lambda ws: " ".join(ws))
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts)
+def test_minhash_kernel_fuzz_vs_loop_oracle(text):
+    import pandas as pd
+
+    from crawler_engine_spark.operators.dedup import _minhash_batch, _minhash_params
+
+    # drive the real vectorized batch body (no Spark session per example)
+    a, b = _minhash_params(64)
+    got = list(_minhash_batch(pd.Series([text]), a, b, 3).iloc[0])
+    assert got == _oracle_minhash(text)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts)
+def test_simhash_kernel_fuzz_vs_loop_oracle(text):
+    import pandas as pd
+
+    from crawler_engine_spark.operators.dedup import _simhash_batch
+
+    got = int(_simhash_batch(pd.Series([text])).iloc[0])
+    assert got == _oracle_simhash(text)

@@ -132,3 +132,84 @@ def test_fetch_sequence_has_no_single_partition_window(spark, frontier_df):
     plan = _plan(seq)
     assert "Exchange SinglePartition" not in plan, plan
     assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+
+
+# ------------------------------------------------------- round-2 operators
+
+
+def test_rule_stats_partial_aggregation(spark, pages_path):
+    """A5 rule aggregation: map-side combine under the explode, one
+    shuffle on the rule key."""
+    res = extract_pages(spark.read.parquet(pages_path), mode="rule_based")
+    agg = (
+        res.select(F.explode("applied_rules").alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n"))
+    )
+    plan = _plan(agg)
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("Exchange") == 1
+
+
+def test_bucket_cap_adds_no_join_shuffle(spark):
+    """The degenerate-bucket guard runs its window on the same
+    (band, bucket) partitioning the self-join needs — capped and uncapped
+    candidate plans must shuffle the same number of times."""
+    from crawler_engine_spark.operators import dedup
+
+    d = spark.createDataFrame(
+        [(i, f"some words {i} repeated here {i % 7}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plain = dedup.minhash_lsh_candidates(d, "text", "doc_id", 64, 32)
+    capped = dedup.minhash_lsh_candidates(
+        d, "text", "doc_id", 64, 32, max_bucket_size=10
+    )
+    assert _plan(capped).count("Exchange") == _plan(plain).count("Exchange")
+
+
+def test_ivf_udf_path_is_arrow_batched(spark):
+    """Large-cell IVF assignment must be one ArrowEvalPython (vectorized),
+    never row-at-a-time BatchEvalPython."""
+    import numpy as np
+
+    from crawler_engine_spark.operators import similarity
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = rng.randn(40, 8).tolist()  # > IVF_EXPR_MAX_CELLS
+    assigned = df.withColumn("cell", similarity.ivf_assign(F.col("embedding"), cents))
+    plan = _plan(assigned)
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_compacted_seen_scan_reads_single_base(spark, tmp_path):
+    """After compaction the seen union is {compact base} + tail deltas, not
+    one scan per round: reading seen at the compaction frontier scans
+    exactly one location."""
+    import pandas as pd
+
+    from crawler_engine_spark.data import gen
+    from crawler_engine_spark.frontier.rounds import CrawlConfig, CrawlEngine
+
+    pages = str(tmp_path / "pages")
+    gen.gen_pages_df(spark, 60, partitions=2).write.parquet(pages)
+    robots = spark.createDataFrame(
+        pd.DataFrame(gen.gen_robots()),
+        "host string, disallow_prefixes array<string>, crawl_delay_s double",
+    )
+    eng = CrawlEngine(
+        spark, str(tmp_path / "state"), pages, robots,
+        CrawlConfig(round_seconds=3.0, bloom_partitions=4,
+                    bloom_bits_per_segment=1 << 14, compact_every=1),
+    )
+    eng.init_from_seeds(spark.createDataFrame(
+        pd.DataFrame(gen.gen_seeds(60, 4)), "url string, seed_rank int, query string"
+    ))
+    eng.run(max_rounds=3)
+    plan = _plan(eng.seen())
+    assert plan.count("FileScan") == 1  # the compact base only
