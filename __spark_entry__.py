@@ -593,6 +593,43 @@ def q_shape_schema_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shaped.select("url", "formatted_data")
 
 
+def _llm_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized model-output texts exercising every executed branch of
+    the reference's JSON isolation (ai_client.py:697-732): clean object in
+    prose / invalid greedy span / bare array / wrapper-key unwrap."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    txt = (
+        F.when(d.doc_id % 4 == 0,
+               F.concat(F.lit('Sure! Here is the data: {"id": '), n,
+                        F.lit(', "source": "'), d.source,
+                        F.lit('"} hope that helps')))
+        .when(d.doc_id % 4 == 1,
+              F.concat(F.lit('use {placeholders} here {"id": '), n, F.lit('} end')))
+        .when(d.doc_id % 4 == 2,
+              F.concat(F.lit('{"items": [1, 2, '), n, F.lit(']} trailing')))
+        .otherwise(
+            F.concat(F.lit('x [ noise {"data":[7,'), n, F.lit(']} ]')))
+    )
+    return d.select("doc_id", txt.alias("llm_text"))
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON extraction from LLM text, as pure column expressions
+    (greedy-span isolation + validity + array wrapper unwrap)."""
+    from crawler_engine_spark.operators.shaping import (
+        extract_json_arr_col,
+        extract_json_obj_col,
+    )
+
+    t = _llm_texts(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        extract_json_obj_col(F.col("llm_text")).alias("json_obj"),
+        extract_json_arr_col(F.col("llm_text")).alias("json_arr"),
+    )
+
+
 def q_shape_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M5 schema shaping: SafeDict {placeholder} template rendering over
     extraction results, as pure column expressions."""
@@ -734,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrape_meta": q_scrape_meta,
         "shape_template": q_shape_template,
         "shape_schema_json": q_shape_schema_json,
+        "json_extract": q_json_extract,
     }
 
 
@@ -1206,4 +1244,48 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_signatures": _minhash_signatures_sql(),
         "simhash": _simhash_sql(),
+        # json_extract: object = raw greedy {..} span when it parses; array
+        # = raw greedy [..] span when valid, else the (minified) unwrap of a
+        # wrapper key — wrapper payloads are synthesized space-free so both
+        # engines' JSON re-serialization agrees byte-for-byte.
+        "json_extract": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 4 AS INTEGER)
+                  WHEN 0 THEN 'Sure! Here is the data: {"id": '
+                              || CAST(doc_id AS VARCHAR) || ', "source": "'
+                              || source || '"} hope that helps'
+                  WHEN 1 THEN 'use {placeholders} here {"id": '
+                              || CAST(doc_id AS VARCHAR) || '} end'
+                  WHEN 2 THEN '{"items": [1, 2, ' || CAST(doc_id AS VARCHAR)
+                              || ']} trailing'
+                  ELSE 'x [ noise {"data":[7,' || CAST(doc_id AS VARCHAR)
+                       || ']} ]'
+                END AS llm_text
+              FROM documents),
+            g AS (
+              SELECT doc_id, llm_text,
+                     regexp_extract(llm_text, '(\{[\s\S]*\})', 1) AS go,
+                     regexp_extract(llm_text, '(\[[\s\S]*\])', 1) AS ga
+              FROM t),
+            o AS (
+              SELECT doc_id, ga,
+                     CASE WHEN go != '' AND json_valid(go) THEN go END AS json_obj
+              FROM g),
+            u AS (
+              SELECT doc_id, ga, json_obj,
+                     COALESCE(
+                       CAST(json_extract(json_obj, '$.items') AS VARCHAR),
+                       CAST(json_extract(json_obj, '$.data') AS VARCHAR),
+                       CAST(json_extract(json_obj, '$.results') AS VARCHAR),
+                       CAST(json_extract(json_obj, '$.list') AS VARCHAR)
+                     ) AS unwrapped
+              FROM o)
+            SELECT doc_id, json_obj,
+                   COALESCE(
+                     CASE WHEN ga != '' AND json_valid(ga) THEN ga END,
+                     CASE WHEN unwrapped LIKE '[%' THEN unwrapped END
+                   ) AS json_arr
+            FROM u
+        """,
     }

@@ -127,6 +127,47 @@ def shape_results(result: DataFrame, output_format=None) -> DataFrame:
     return result.withColumn("formatted_data", F.col("content"))
 
 
+# ----------------------------------------------------- LLM-output JSON
+# The deterministic JSON-isolation logic of ai_client.py:697-732 (find the
+# first '{' .. last '}', else a ```json fenced block; arrays additionally
+# unwrap {items|data|results|list: [...]}) as pure column expressions —
+# useful for post-processing stored model outputs at scale; no AI here,
+# just the reference's string semantics.
+
+
+def extract_json_obj_col(txt: Column) -> Column:
+    """JSON-object substring of a free-text column, or null.
+
+    Mirrors the EXECUTED ``_extract_json_obj`` semantics: the greedy
+    first-'{'-to-last-'}' span if it parses as JSON, else null (a parse
+    failure lands in the reference's catch-all → None).  The reference's
+    fenced-```json``-block branch is unreachable in execution — it only
+    runs when the text contains no '{' at all, but the fence regex itself
+    requires one — so, like the other dead reference branches (SURVEY §7),
+    it is not replicated."""
+    greedy = F.regexp_extract(txt, r"(\{[\s\S]*\})", 1)
+    cand = F.when(greedy != "", greedy)
+    return F.when(F.get_json_object(cand, "$").isNotNull(), cand)
+
+
+_ARR_WRAPPER_KEYS = ("items", "data", "results", "list")
+
+
+def extract_json_arr_col(txt: Column) -> Column:
+    """JSON-array substring, or an array unwrapped from a common wrapper
+    object key (items/data/results/list) — ``_extract_json_arr`` semantics."""
+    greedy = F.regexp_extract(txt, r"(\[[\s\S]*\])", 1)
+    arr = F.when(
+        (greedy != "") & F.get_json_object(greedy, "$").isNotNull(), greedy
+    )
+    obj = extract_json_obj_col(txt)
+    unwrapped = F.coalesce(
+        *[F.get_json_object(obj, f"$.{k}") for k in _ARR_WRAPPER_KEYS]
+    )
+    unwrapped = F.when(unwrapped.startswith("["), unwrapped)
+    return F.coalesce(arr, unwrapped)
+
+
 # ---------------------------------------------------------------- renderers
 # CLI save formats (cli.py:468-486): per-row document renderings.
 

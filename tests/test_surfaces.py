@@ -84,6 +84,32 @@ def test_shape_results_raw_and_template(spark):
     assert fallback == "body"  # deterministic fallback = raw content
 
 
+def test_extract_json_cols(spark):
+    """ai_client.py:697-732 JSON isolation, executed semantics: greedy span
+    when valid, null otherwise; arrays unwrap items/data/results/list."""
+    rows = [
+        (0, 'prose {"a": 1, "b": "x"} tail'),          # clean object
+        (1, 'use {placeholders} then {"a": 1} end'),    # invalid greedy span
+        (2, 'pick [1, 2, 3] please'),                   # bare array
+        (3, 'w [ bad {"results":[9,8]} ]'),             # unwrap via results
+        (4, 'no json at all'),
+    ]
+    df = spark.createDataFrame(rows, ["i", "t"])
+    got = {
+        r["i"]: (r["o"], r["a"])
+        for r in df.select(
+            "i",
+            shaping.extract_json_obj_col(F.col("t")).alias("o"),
+            shaping.extract_json_arr_col(F.col("t")).alias("a"),
+        ).collect()
+    }
+    assert got[0] == ('{"a": 1, "b": "x"}', None)
+    assert got[1] == (None, None)
+    assert got[2] == (None, "[1, 2, 3]")
+    assert got[3] == ('{"results":[9,8]}', "[9,8]")
+    assert got[4] == (None, None)
+
+
 def test_shape_results_dict_schema(spark):
     df = spark.createDataFrame(
         pd.DataFrame({
