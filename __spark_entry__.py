@@ -383,6 +383,19 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: verified MinHash pairs → connected components
+    (component = min reachable doc_id; the keep-one-per-cluster step of a
+    web-scale dedup pipeline).  Oracle: recursive-CTE transitive closure
+    over the same exact-Jaccard pair set."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_candidates(d, "text", "doc_id", num_perm=64, bands=32)
+    verified = dedup.verify_jaccard(pairs, d, "text", "doc_id", threshold=0.5)
+    return dedup.connected_components(verified).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs within source blocks (n=2, tiny threshold
     keeps output deterministic but non-empty on word-salad docs)."""
@@ -757,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "minhash_near_dup": q_minhash_near_dup,
         "minhash_signatures": q_minhash_signatures,
+        "near_dup_clusters": q_near_dup_clusters,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "extract_structured": q_extract_structured,
@@ -1243,6 +1257,37 @@ def oracle_sql() -> dict[str, str]:
                   / len(list_distinct(list_concat(a.s, b.s))) >= 0.5
         """,
         "minhash_signatures": _minhash_signatures_sql(),
+        # near_dup_clusters: recursive-CTE transitive closure over the exact
+        # J≥0.5 pair set (same pair oracle as minhash_near_dup); component =
+        # min reachable id including self.
+        "near_dup_clusters": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^0-9A-Za-z_]+'), t -> t != '') AS w
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct(CASE WHEN len(w) >= 3
+                       THEN list_transform(range(1, len(w) - 1),
+                                           i -> array_to_string(w[i:i+2], ' '))
+                       ELSE [array_to_string(w, ' ')] END) AS s
+              FROM toks),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / len(list_distinct(list_concat(a.s, b.s))) >= 0.5),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM p
+              UNION ALL SELECT id_b, id_a FROM p),
+            reach(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+            SELECT src AS doc_id, least(src, MIN(dst)) AS cluster_id
+            FROM reach GROUP BY src
+        """,
         "simhash": _simhash_sql(),
         # json_extract: object = raw greedy {..} span when it parses; array
         # = raw greedy [..] span when valid, else the (minified) unwrap of a

@@ -393,6 +393,69 @@ def simhash_candidates(
 
 
 # --------------------------------------------------------------------------
+# Near-dup clustering: connected components over verified pairs
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    component = the minimum node id reachable — the step between near-dup
+    pair generation and canonical-document selection (keep min-id per
+    cluster, drop the rest).
+
+    Plain min-label propagation: each iteration joins labels across edges
+    and keeps the smaller label, with an eager localCheckpoint per round to
+    cut the iterative lineage (Spark's classic iterative-algorithm trap) and
+    an early exit when no label changes.  Convergence takes
+    O(component diameter) rounds — near-dup clusters are shallow (dozens of
+    docs, diameter a few hops), so this beats the constant-factor overhead
+    of alternating large-star/small-star at this shape; for adversarial
+    long-chain graphs at 10^10 scale, swap in star-contraction (halves
+    diameter per round) behind the same signature."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+# --------------------------------------------------------------------------
 # n-gram Jaccard (exact, blocked)
 # --------------------------------------------------------------------------
 

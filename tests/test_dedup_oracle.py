@@ -209,3 +209,39 @@ def test_simhash_kernel_fuzz_vs_loop_oracle(text):
 
     got = int(_simhash_batch(pd.Series([text])).iloc[0])
     assert got == _oracle_simhash(text)
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical min-id labels
+    return {n: find(n) for n in parent}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Min-label propagation vs a pure-python union-find on a graph with a
+    long chain (exercises multi-iteration convergence), a clique, an
+    isolated pair, and a star."""
+    edges = (
+        [(i, i + 1) for i in range(10)]                 # chain 0..10
+        + [(a, b) for a in (20, 21, 22) for b in (21, 22, 23) if a < b]  # clique
+        + [(40, 41)]                                     # pair
+        + [(50, x) for x in (51, 52, 53, 54)]            # star
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in dedup.connected_components(df).collect()
+    }
+    assert got == _uf_components(edges)
