@@ -383,6 +383,32 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data preprocessing funnel as ONE pipeline:
+    language-ID gate + quality-score gate + near-dup removal (drop every
+    non-minimum member of each MinHash cluster).  Composes lang_id,
+    quality_score, minhash_near_dup, and near_dup_clusters — all
+    independently oracle-checked — into the end-to-end corpus filter a
+    100 TB pretraining pipeline actually runs."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        textstats.lang_id_col(F.col("text")).alias("lang_pred"),
+        F.round(textstats.quality_score_col(F.col("text")), 4).alias("quality"),
+    )
+    pairs = dedup.minhash_lsh_candidates(d, "text", "doc_id", num_perm=64, bands=32)
+    verified = dedup.verify_jaccard(pairs, d, "text", "doc_id", threshold=0.5)
+    cc = dedup.connected_components(verified)
+    drop = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return (
+        scored.where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.5))
+        .join(drop, "doc_id", "left_anti")
+        .select("doc_id", "quality")
+    )
+
+
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: verified MinHash pairs → connected components
     (component = min reachable doc_id; the keep-one-per-cluster step of a
@@ -771,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dup": q_minhash_near_dup,
         "minhash_signatures": q_minhash_signatures,
         "near_dup_clusters": q_near_dup_clusters,
+        "corpus_filter": q_corpus_filter,
         "simhash": q_simhash,
         "ngram_jaccard": q_ngram_jaccard,
         "extract_structured": q_extract_structured,
@@ -790,7 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    oracles = {
         "url_canonicalize": f"""
             WITH u AS ({_ORDER_URLS_SQL})
             SELECT okey,
@@ -1334,3 +1361,16 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
     }
+    # corpus_filter: the end-to-end funnel composed from the already-
+    # verified sub-oracles (lang gate + quality gate + drop non-minimum
+    # members of each near-dup cluster).
+    oracles["corpus_filter"] = f"""
+        SELECT q.doc_id, q.quality
+        FROM ({oracles["quality_score"]}) q
+        JOIN ({oracles["lang_id"]}) l USING (doc_id)
+        WHERE l.lang_pred = 'en' AND q.quality >= 0.5
+          AND q.doc_id NOT IN (
+            SELECT doc_id FROM ({oracles["near_dup_clusters"]}) c
+            WHERE c.doc_id != c.cluster_id)
+    """
+    return oracles

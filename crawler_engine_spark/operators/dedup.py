@@ -306,13 +306,29 @@ def minhash_dedup(
     threshold: float = 0.8,
     num_perm: int = 64,
     bands: int = 16,
+    method: str = "sweep",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact verify → drop the
-    higher id of each verified pair (transitive closure approximated by
-    single-sweep removal, the standard web-scale practice)."""
-    cand = minhash_lsh_candidates(df, text_col, id_col, num_perm, bands)
+    """Full near-dup pipeline: LSH candidates → exact verify → drop.
+
+    method='sweep' drops the higher id of each verified pair (one pass, the
+    cheap web-scale default — but a node connected only transitively, e.g.
+    {1,3},{2,3} with no {1,2} pair, keeps BOTH 1 and 2).  method='cc' runs
+    connected_components over the verified pairs and keeps exactly one
+    (minimum-id) document per near-dup cluster — transitive closure at the
+    cost of a few extra small jobs over the (tiny) pair graph."""
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, num_perm, bands, max_bucket_size=max_bucket_size
+    )
     dups = verify_jaccard(cand, df, text_col, id_col, threshold)
-    to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    if method == "cc":
+        cc = connected_components(dups)
+        to_drop = (
+            cc.where(F.col("node") != F.col("component"))
+            .select(F.col("node").alias(id_col))
+        )
+    else:
+        to_drop = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(to_drop, on=id_col, how="left_anti")
 
 

@@ -245,3 +245,32 @@ def test_connected_components_matches_union_find(spark):
         for r in dedup.connected_components(df).collect()
     }
     assert got == _uf_components(edges)
+
+
+def test_minhash_dedup_cc_is_transitive(spark):
+    """sweep vs cc on a transitive-only component: docs 1 and 2 are each
+    near-dup of 3 but not of each other — sweep keeps both, cc keeps only
+    the cluster minimum."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base + " lambda lambda lambda mu nu xi"),
+        (2, base + " omicron omicron omicron pi rho sigma"),
+        (3, base + " lambda lambda lambda omicron omicron omicron"),
+        (9, "completely different text about nothing shared at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(threshold=0.45, num_perm=64, bands=32)
+    sweep = {r["doc_id"] for r in
+             dedup.minhash_dedup(df, "text", "doc_id", **kw).collect()}
+    cc = {r["doc_id"] for r in
+          dedup.minhash_dedup(df, "text", "doc_id", method="cc", **kw).collect()}
+    # precondition: 1-3 and 2-3 are pairs, 1-2 is not
+    pairs = dedup.verify_jaccard(
+        dedup.minhash_lsh_candidates(df, "text", "doc_id", 64, 32),
+        df, "text", "doc_id", 0.45,
+    )
+    got_pairs = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 3) in got_pairs and (2, 3) in got_pairs
+    assert (1, 2) not in got_pairs
+    assert sweep == {1, 2, 9}   # 3 dropped; 2 survives (no direct pair)
+    assert cc == {1, 9}         # whole cluster collapses to its minimum
