@@ -256,6 +256,35 @@ def test_cli_doctor():
     assert rec["overall"] == "ok"
 
 
+def test_spark_submit_py_files_deployment(tmp_path):
+    """The north rule's deployment mode: `spark-submit --py-files <zip>`
+    from a bare directory (no repo on sys.path, PYTHONPATH unset) must run
+    the doctor job — proving the package travels in the zip, not the cwd."""
+    import shutil
+    import zipfile
+
+    zpath = tmp_path / "pkg.zip"
+    pkg = os.path.join(REPO, "crawler_engine_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                p = os.path.join(root, f)
+                z.write(p, os.path.relpath(p, REPO))
+    workdir = tmp_path / "bare"
+    workdir.mkdir()
+    shutil.copy(os.path.join(REPO, "crawl.py"), workdir)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    proc = subprocess.run(
+        ["spark-submit", "--master", "local[2]", "--py-files", str(zpath),
+         "crawl.py", "doctor"],
+        cwd=str(workdir), env=env, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert rec["overall"] == "ok"
+
+
 def test_cli_interactive(spark, tmp_path):
     """interactive loop: piped stdin (url/query/mode triples), one summary
     JSON per url, unknown url → error record."""
