@@ -76,6 +76,11 @@ class CrawlConfig:
     # resume source of truth); compaction only bounds the anti-join's read
     # fan-in on long crawls.
     compact_every: int = 0
+    # Prefilter backend: 'bloom' (smaller, append-only) or 'cuckoo'
+    # (deletable — enables recrawl/TTL via CuckooSeenSet.delete).  Both keep
+    # the no-false-negative contract; exactness always rests on the exact
+    # anti-join either way.
+    seen_filter: str = "bloom"
 
 
 class CrawlEngine:
@@ -96,10 +101,18 @@ class CrawlEngine:
         self.pages_path = pages_path
         self.robots = robots
         self.cfg = config
-        self.bloom = BloomSeenSet(
-            num_partitions=config.bloom_partitions,
-            bits_per_segment=config.bloom_bits_per_segment,
-        )
+        if config.seen_filter == "cuckoo":
+            from .cuckoo import CuckooSeenSet
+
+            self.bloom = CuckooSeenSet(
+                num_partitions=config.bloom_partitions,
+                buckets_per_segment=max(config.bloom_bits_per_segment // 64, 4),
+            )
+        else:
+            self.bloom = BloomSeenSet(
+                num_partitions=config.bloom_partitions,
+                bits_per_segment=config.bloom_bits_per_segment,
+            )
         self._check_state_format()
 
     def _check_state_format(self) -> None:
