@@ -198,10 +198,11 @@ class CrawlEngine:
 
     def _read_seen(self, upto_round: int) -> Optional[DataFrame]:
         """Exact seen set ≤ upto_round: the compacted base (if one covers a
-        prefix of rounds) plus the per-round deltas after it.  Without
-        compaction this unions one parquet dir per round — file-listing and
-        small-file read amplification that grows linearly with crawl length;
-        with it, the union is one consolidated dir + a bounded tail."""
+        prefix of rounds) plus the per-round deltas after it, minus
+        tombstoned (expired) records.  Without compaction this unions one
+        parquet dir per round — file-listing and small-file read
+        amplification that grows linearly with crawl length; with it, the
+        union is one consolidated dir + a bounded tail."""
         c = self.compacted_upto()
         base = None
         start = 1
@@ -215,9 +216,94 @@ class CrawlEngine:
             and os.path.isdir(os.path.join(self._round_dir(k), "seen_delta"))
         ]
         if not paths:
-            return base
-        deltas = self.spark.read.parquet(*paths)
-        return deltas if base is None else base.unionByName(deltas)
+            seen = base
+        else:
+            deltas = self.spark.read.parquet(*paths)
+            seen = deltas if base is None else base.unionByName(deltas)
+        if seen is None:
+            return None
+        tomb = self._read_tombstones()
+        if tomb is not None:
+            # cancel only records from AT/BEFORE the expiry round — a
+            # refetch after expiry writes a newer delta row that survives
+            seen = seen.alias("s").join(
+                F.broadcast(tomb).alias("t"),
+                (F.col("s.canonical_url") == F.col("t.t_url"))
+                & (F.col("s.round") <= F.col("t.expired_at")),
+                "left_anti",
+            )
+        return seen
+
+    # ----------------------------------------------------- recrawl / TTL
+    def _tombstones_dir(self) -> str:
+        return os.path.join(self.state_dir, "tombstones")
+
+    def _requeue_dir(self) -> str:
+        return os.path.join(self.state_dir, "requeue")
+
+    def _read_tombstones(self) -> Optional[DataFrame]:
+        root = self._tombstones_dir()
+        if not os.path.isdir(root):
+            return None
+        batches = [os.path.join(root, n) for n in sorted(os.listdir(root))]
+        if not batches:
+            return None
+        return self.spark.read.parquet(*batches)
+
+    def _consumed_requeue(self) -> set:
+        names = set()
+        for k in self.committed_rounds():
+            names.update(self._read_commit(k).get("consumed_requeue", []))
+        return names
+
+    def expire(self, urls: DataFrame, requeue: bool = True) -> int:
+        """Recrawl/TTL: mark already-fetched URLs as expired so they become
+        fetchable again (the distributed analog of the reference's
+        cache-TTL, models/config.py:169-172).
+
+        Writes a TOMBSTONE batch — the seen-set view cancels records up to
+        the expiry round, so per-round deltas stay immutable and resume is
+        unaffected — and (with ``requeue=True``) a requeue batch of
+        frontier rows (priority = original depth, original fetch_seq) that
+        the next round folds into its frontier; consumption is recorded in
+        that round's commit, so a crash between expire and commit simply
+        re-consumes.  The prefilter is NOT touched: a stale maybe_seen just
+        routes the URL through the exact anti-join, which now lets it pass
+        (the cuckoo backend's delete can additionally tighten the filter
+        out-of-band).  Returns the number of URLs expired."""
+        seen = self.seen()
+        if seen is None:
+            return 0
+        target = urls.select(F.col("canonical_url")).distinct()
+        records = seen.join(target, "canonical_url", "inner").cache()
+        n = records.count()
+        if n == 0:
+            records.unpersist()
+            return 0
+        expired_at = self.last_committed()
+        batch = f"batch-{len(os.listdir(self._tombstones_dir())) if os.path.isdir(self._tombstones_dir()) else 0:05d}"
+        (
+            records.select(
+                F.col("canonical_url").alias("t_url"),
+                F.lit(expired_at).alias("expired_at"),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(self._tombstones_dir(), batch))
+        )
+        if requeue:
+            rq = records.select(
+                "canonical_url",
+                "url_hash",
+                "host",
+                urlops.path_col(F.col("canonical_url")).alias("path"),
+                F.col("depth").cast("int"),
+                F.coalesce(F.col("fetch_seq"), F.lit(-1)).cast("long").alias("parent_seq"),
+                F.lit(0).alias("link_position"),
+                F.lit(None).cast("string").alias("query"),
+            )
+            rq.write.mode("overwrite").parquet(os.path.join(self._requeue_dir(), batch))
+        records.unpersist()
+        return n
 
     # -------------------------------------------------------- compaction
     def _compact_dir(self) -> str:
@@ -269,11 +355,45 @@ class CrawlEngine:
         """Execute round ``k`` (requires round ``k-1`` committed).
         Returns the commit record, or None if the frontier is exhausted."""
         prev = self._read_commit(k - 1)
+        # Requeue batches not yet consumed by a committed round (recrawl).
+        rq_root = self._requeue_dir()
+        pending_requeue: List[str] = []
+        if os.path.isdir(rq_root):
+            done = self._consumed_requeue()
+            pending_requeue = sorted(n for n in os.listdir(rq_root) if n not in done)
         # Emptiness check comes free from the previous round's commit record
-        # (round 0 always has seeds).
-        if prev.get("frontier_size") == 0:
+        # (round 0 always has seeds); pending requeue keeps the crawl alive.
+        if prev.get("frontier_size") == 0 and not pending_requeue:
             return None
         frontier = self._read_frontier(k - 1)
+        if pending_requeue:
+            rq = self.spark.read.schema(FRONTIER_SCHEMA).parquet(
+                *[os.path.join(rq_root, n) for n in pending_requeue]
+            )
+            # fold into the frontier, min-priority per URL (a URL can be
+            # both carried and requeued)
+            frontier = (
+                frontier.unionByName(rq)
+                .groupBy("canonical_url")
+                .agg(
+                    F.min(
+                        F.struct(
+                            "depth", "parent_seq", "link_position",
+                            "url_hash", "host", "path", "query",
+                        )
+                    ).alias("p")
+                )
+                .select(
+                    "canonical_url",
+                    F.col("p.url_hash").alias("url_hash"),
+                    F.col("p.host").alias("host"),
+                    F.col("p.path").alias("path"),
+                    F.col("p.depth").alias("depth"),
+                    F.col("p.parent_seq").alias("parent_seq"),
+                    F.col("p.link_position").alias("link_position"),
+                    F.col("p.query").alias("query"),
+                )
+            )
 
         rd = self._round_dir(k)
         if os.path.isdir(rd):  # uncommitted leftovers from a crash
@@ -485,6 +605,10 @@ class CrawlEngine:
             "new_urls": origin_counts.get("discovered", 0),
             "frontier_size": sum(origin_counts.values()),
             "total_fetched": int(prev["total_fetched"]) + n_fetched,
+            # requeue batches folded into this round's frontier; recording
+            # them here (atomically with the round) is what makes expire()
+            # crash-safe — an uncommitted round simply re-consumes them
+            "consumed_requeue": pending_requeue,
         }
         selected.unpersist()
         batch.unpersist()

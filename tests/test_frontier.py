@@ -219,6 +219,48 @@ def test_seen_compaction_preserves_semantics(spark, world, oracle):
     assert {r["canonical_url"] for r in eng2.seen().collect()} == sim_seen
 
 
+def test_expire_recrawls_only_expired_urls(spark, world):
+    """Recrawl/TTL: expiring fetched URLs tombstones their seen records and
+    requeues them; subsequent rounds fetch exactly those URLs a second time
+    while everything else stays fetched-once.  Consumption is recorded in
+    the commit, so a fresh engine (resume) does not double-consume."""
+    from collections import Counter
+
+    eng = _make_engine(spark, world, "state_expire")
+    eng.run(max_rounds=2)
+    fetched = [r["canonical_url"] for r in eng.fetched_log().collect()]
+    assert len(fetched) == len(set(fetched))
+    victims = sorted(set(fetched))[:4]
+    vdf = spark.createDataFrame([(u,) for u in victims], "canonical_url string")
+
+    n = eng.expire(vdf, requeue=True)
+    assert n == 4
+    # seen view no longer contains the victims; the raw log still does
+    seen_urls = {r["canonical_url"] for r in eng.seen().collect()}
+    assert not (set(victims) & seen_urls)
+
+    eng.run(max_rounds=3)
+    counts = Counter(r["canonical_url"] for r in eng.fetched_log().collect())
+    for u in victims:
+        assert counts[u] == 2, (u, counts[u])
+    assert all(c == 1 for u, c in counts.items() if u not in victims)
+    # victims are back in the seen view after the refetch
+    seen_after = {r["canonical_url"] for r in eng.seen().collect()}
+    assert set(victims) <= seen_after
+
+    # resume with a fresh engine: requeue batches already consumed → no
+    # third fetch
+    eng2 = CrawlEngine(
+        spark, eng.state_dir, world["pages_path"], world["robots_df"],
+        CrawlConfig(round_seconds=ROUND_SECONDS, bloom_partitions=8,
+                    bloom_bits_per_segment=1 << 16),
+    )
+    eng2.run(max_rounds=2)
+    counts2 = Counter(r["canonical_url"] for r in eng2.fetched_log().collect())
+    for u in victims:
+        assert counts2[u] == 2
+
+
 def test_salted_politeness_bounds_skewed_reducer(spark):
     """SURVEY §4.2 hot-host scenario, structurally: with one host owning 30%
     of the frontier, the salted two-phase selection (a) still returns
