@@ -131,6 +131,28 @@ def cmd_crawl(args) -> None:
     spark.stop()
 
 
+def cmd_expire(args) -> None:
+    """Recrawl/TTL surface: expire URLs in a crawl state so the next
+    `crawl` run fetches them again (tombstone + requeue)."""
+    from crawler_engine_spark.frontier.rounds import CrawlConfig, CrawlEngine
+
+    spark = get_spark("crawl-expire")
+    robots = spark.createDataFrame(
+        [], "host string, disallow_prefixes array<string>, crawl_delay_s double"
+    )
+    eng = CrawlEngine(spark, args.state, args.pages, robots, CrawlConfig())
+    if args.urls.endswith(".txt"):
+        with open(args.urls) as f:
+            urls = [(line.strip(),) for line in f if line.strip()]
+        urls_df = spark.createDataFrame(urls, "canonical_url string")
+    else:
+        urls_df = spark.read.parquet(args.urls).select("canonical_url")
+    n = eng.expire(urls_df, requeue=not args.no_requeue)
+    print(json.dumps({"command": "expire", "expired": n,
+                      "requeued": not args.no_requeue}))
+    spark.stop()
+
+
 def cmd_interactive(args) -> None:
     """Interactive extraction loop (reference cli.py:234-317): prompt for
     URL / query / mode, extract from the page store, print a summary.
@@ -283,6 +305,14 @@ def main() -> None:
 
     pd_ = sub.add_parser("doctor", help="dependency / smoke checks")
     pd_.set_defaults(fn=cmd_doctor)
+
+    px = sub.add_parser("expire", help="expire URLs for recrawl (tombstone + requeue)")
+    px.add_argument("--state", required=True)
+    px.add_argument("--pages", required=True)
+    px.add_argument("--urls", required=True,
+                    help=".txt (one url/line) or parquet with canonical_url")
+    px.add_argument("--no-requeue", action="store_true")
+    px.set_defaults(fn=cmd_expire)
 
     pint = sub.add_parser("interactive", help="interactive extraction loop")
     pint.add_argument("--pages", required=True)

@@ -285,6 +285,46 @@ def test_spark_submit_py_files_deployment(tmp_path):
     assert rec["overall"] == "ok"
 
 
+def test_cli_expire(spark, tmp_path):
+    """expire subcommand: tombstones + requeues via the CLI against an
+    existing crawl state."""
+    import pandas as _pd
+
+    from crawler_engine_spark.data import gen
+    from crawler_engine_spark.frontier.rounds import CrawlConfig, CrawlEngine
+
+    pages = str(tmp_path / "pages")
+    gen.gen_pages_df(spark, 80, partitions=2).write.parquet(pages)
+    robots = spark.createDataFrame(
+        _pd.DataFrame(gen.gen_robots()),
+        "host string, disallow_prefixes array<string>, crawl_delay_s double",
+    )
+    state = str(tmp_path / "state")
+    eng = CrawlEngine(
+        spark, state, pages, robots,
+        CrawlConfig(round_seconds=3.0, bloom_partitions=4,
+                    bloom_bits_per_segment=1 << 14),
+    )
+    eng.init_from_seeds(spark.createDataFrame(
+        _pd.DataFrame(gen.gen_seeds(80, 4)), "url string, seed_rank int, query string"
+    ))
+    eng.run(max_rounds=2)
+    fetched = sorted({r["canonical_url"] for r in eng.fetched_log().collect()})[:3]
+    urls_txt = tmp_path / "expire.txt"
+    urls_txt.write_text("\n".join(fetched) + "\n")
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "crawl.py"), "expire",
+         "--state", state, "--pages", pages, "--urls", str(urls_txt)],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert rec["expired"] == 3
+    seen = {r["canonical_url"] for r in eng.seen().collect()}
+    assert not (set(fetched) & seen)
+
+
 def test_cli_interactive(spark, tmp_path):
     """interactive loop: piped stdin (url/query/mode triples), one summary
     JSON per url, unknown url → error record."""
