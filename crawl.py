@@ -182,7 +182,10 @@ def cmd_interactive(args) -> None:
         query = prompt("Query (optional)> ") or None
         mode = prompt("Mode (adaptive/semantic/structured/rule_based/hybrid)> ") or None
         row = extract_pages(
-            pages.where(F.col("url") == url), mode=mode or cfg.mode, query=query
+            pages.where(F.col("url") == url),
+            mode=mode or cfg.mode,
+            query=query,
+            opts=cfg.extract_opts,
         ).first()
         if row is None:
             print(json.dumps({"url": url, "error": "url not in page store"}))
@@ -239,8 +242,12 @@ def cmd_init(args) -> None:
     else:
         data = EngineConfig().to_dict()
         if fmt == "yaml":
-            import yaml
-
+            try:
+                import yaml
+            except ImportError:
+                print(json.dumps({"command": "init",
+                                  "error": "pyyaml not installed; use --format json"}))
+                sys.exit(1)
             body = yaml.safe_dump(data, sort_keys=False)
         else:
             body = json.dumps(data, indent=2) + "\n"

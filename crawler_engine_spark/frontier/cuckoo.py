@@ -176,9 +176,12 @@ class CuckooSeenSet:
         num_partitions: int = DEFAULT_NUM_PARTITIONS,
         buckets_per_segment: int = DEFAULT_BUCKETS_PER_SEGMENT,
     ) -> None:
-        assert buckets_per_segment & (buckets_per_segment - 1) == 0, (
-            "buckets_per_segment must be a power of two"
-        )
+        if buckets_per_segment < 1 or buckets_per_segment & (buckets_per_segment - 1):
+            # a hard error (not assert: must hold under python -O too) —
+            # the XOR partner relation is only an involution at powers of 2
+            raise ValueError(
+                f"buckets_per_segment must be a power of two, got {buckets_per_segment}"
+            )
         self.num_partitions = num_partitions
         self.n_buckets = buckets_per_segment
 

@@ -104,9 +104,13 @@ class CrawlEngine:
         if config.seen_filter == "cuckoo":
             from .cuckoo import CuckooSeenSet
 
+            # round the bloom-sizing knob down to the cuckoo backend's
+            # power-of-two bucket requirement (any CRAWL_BLOOM_BITS value
+            # stays valid for either backend)
+            raw = max(config.bloom_bits_per_segment // 64, 4)
             self.bloom = CuckooSeenSet(
                 num_partitions=config.bloom_partitions,
-                buckets_per_segment=max(config.bloom_bits_per_segment // 64, 4),
+                buckets_per_segment=1 << (raw.bit_length() - 1),
             )
         else:
             self.bloom = BloomSeenSet(
@@ -241,19 +245,34 @@ class CrawlEngine:
     def _requeue_dir(self) -> str:
         return os.path.join(self.state_dir, "requeue")
 
+    _TOMBSTONE_SCHEMA = "t_url string, expired_at int"
+
     def _read_tombstones(self) -> Optional[DataFrame]:
         root = self._tombstones_dir()
         if not os.path.isdir(root):
             return None
-        batches = [os.path.join(root, n) for n in sorted(os.listdir(root))]
+        # .tmp dirs are in-flight/crashed expire() writes — never read them
+        batches = [
+            os.path.join(root, n)
+            for n in sorted(os.listdir(root))
+            if not n.endswith(".tmp")
+        ]
         if not batches:
             return None
-        return self.spark.read.parquet(*batches)
+        return self.spark.read.schema(self._TOMBSTONE_SCHEMA).parquet(*batches)
 
     def _consumed_requeue(self) -> set:
+        """Requeue batches recorded as consumed by committed rounds.
+        Cached incrementally per engine instance — without the cache a
+        k-round crawl re-opens all k commit JSONs every round (O(k²)
+        driver file I/O over a long crawl)."""
+        if not hasattr(self, "_rq_cache"):
+            self._rq_cache: dict[int, list] = {}
         names = set()
         for k in self.committed_rounds():
-            names.update(self._read_commit(k).get("consumed_requeue", []))
+            if k not in self._rq_cache:
+                self._rq_cache[k] = self._read_commit(k).get("consumed_requeue", [])
+            names.update(self._rq_cache[k])
         return names
 
     def expire(self, urls: DataFrame, requeue: bool = True) -> int:
@@ -281,14 +300,23 @@ class CrawlEngine:
             records.unpersist()
             return 0
         expired_at = self.last_committed()
-        batch = f"batch-{len(os.listdir(self._tombstones_dir())) if os.path.isdir(self._tombstones_dir()) else 0:05d}"
+        t_root = self._tombstones_dir()
+        existing = [
+            n for n in (os.listdir(t_root) if os.path.isdir(t_root) else [])
+            if not n.endswith(".tmp")
+        ]
+        # expired_at in the name lets compaction prune superseded batches
+        batch = f"batch-{len(existing):05d}-at{expired_at}"
+        # crash-safe: write to a .tmp dir, atomic-rename into place last —
+        # readers skip .tmp, so a killed expire() can never poison reads
+        t_tmp = os.path.join(t_root, batch + ".tmp")
         (
             records.select(
                 F.col("canonical_url").alias("t_url"),
                 F.lit(expired_at).alias("expired_at"),
             )
             .write.mode("overwrite")
-            .parquet(os.path.join(self._tombstones_dir(), batch))
+            .parquet(t_tmp)
         )
         if requeue:
             rq = records.select(
@@ -301,7 +329,10 @@ class CrawlEngine:
                 F.lit(0).alias("link_position"),
                 F.lit(None).cast("string").alias("query"),
             )
-            rq.write.mode("overwrite").parquet(os.path.join(self._requeue_dir(), batch))
+            rq_tmp = os.path.join(self._requeue_dir(), batch + ".tmp")
+            rq.write.mode("overwrite").parquet(rq_tmp)
+            os.rename(rq_tmp, os.path.join(self._requeue_dir(), batch))
+        os.rename(t_tmp, os.path.join(t_root, batch))
         records.unpersist()
         return n
 
@@ -349,6 +380,17 @@ class CrawlEngine:
         if os.path.isdir(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        # Prune tombstone batches the compaction superseded: the base is
+        # tombstone-filtered, and tail deltas all have round > upto, so a
+        # batch with expired_at <= upto can never match anything again.
+        t_root = self._tombstones_dir()
+        if os.path.isdir(t_root):
+            for name in os.listdir(t_root):
+                if name.endswith(".tmp"):
+                    continue
+                _, _, at = name.rpartition("-at")
+                if at.isdigit() and int(at) <= upto:
+                    shutil.rmtree(os.path.join(t_root, name))
         return upto
 
     def run_round(self, k: int) -> Optional[dict]:
@@ -360,7 +402,10 @@ class CrawlEngine:
         pending_requeue: List[str] = []
         if os.path.isdir(rq_root):
             done = self._consumed_requeue()
-            pending_requeue = sorted(n for n in os.listdir(rq_root) if n not in done)
+            pending_requeue = sorted(
+                n for n in os.listdir(rq_root)
+                if n not in done and not n.endswith(".tmp")
+            )
         # Emptiness check comes free from the previous round's commit record
         # (round 0 always has seeds); pending requeue keeps the crawl alive.
         if prev.get("frontier_size") == 0 and not pending_requeue:

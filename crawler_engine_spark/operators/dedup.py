@@ -160,8 +160,8 @@ def _cap_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
     self-join.  The window runs on the same (band, bucket) partitioning as
     the join, so no extra shuffle is introduced.  Use lsh_bucket_stats() to
     observe how many buckets/rows a given cap skips."""
-    if max_bucket_size is None:
-        return banded
+    if not max_bucket_size:
+        return banded  # None and 0 both mean "no cap" (matches lsh_bucket_stats)
     from pyspark.sql import Window
 
     w = Window.partitionBy("band", "bucket")
@@ -468,6 +468,14 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silently returning partial components would make every downstream
+        # dedup decision wrong; fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(a component's label-propagation distance exceeds the budget); "
+            "raise max_iter or switch to star-contraction for long chains"
+        )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 

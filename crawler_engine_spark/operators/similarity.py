@@ -133,22 +133,43 @@ def make_ivf_assign_udf(centroids: List[List[float]]):
     cents = np.asarray(centroids, dtype=np.float64)
     c_norm2 = (cents**2).sum(axis=1)
 
+    dim = cents.shape[1]
+
     @pandas_udf(T.IntegerType())
     def assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in it:
             if len(batch) == 0:
                 yield pd.Series([], dtype="int32")
                 continue
-            mat = np.asarray([np.asarray(v, dtype=np.float64) for v in batch])
-            scores = -2.0 * (mat @ cents.T) + c_norm2[None, :]
-            yield pd.Series(scores.argmin(axis=1).astype(np.int32))
+            # null / wrong-length embeddings assign to cell 0, matching the
+            # unrolled expression's fallback (its when-chain keeps the
+            # initial best_id when every distance is null)
+            rows = []
+            for v in batch:
+                if v is not None and len(v) == dim:
+                    rows.append(np.asarray(v, dtype=np.float64))
+                else:
+                    rows.append(None)
+            ok = np.array([r is not None for r in rows])
+            out = np.zeros(len(rows), dtype=np.int32)
+            if ok.any():
+                mat = np.stack([r for r in rows if r is not None])
+                scores = -2.0 * (mat @ cents.T) + c_norm2[None, :]
+                out[ok] = scores.argmin(axis=1).astype(np.int32)
+            yield pd.Series(out)
 
     return assign
 
 
 def ivf_assign(emb_col, centroids: List[List[float]]):
     """Dispatch: unrolled expression for small centroid sets (stays in
-    whole-stage codegen), vectorized pandas UDF beyond IVF_EXPR_MAX_CELLS."""
+    whole-stage codegen), vectorized pandas UDF beyond IVF_EXPR_MAX_CELLS.
+
+    The two paths compute the same argmin through different float formulas
+    (Σ(x−c)² vs −2x·c+‖c‖²), so exact near-ties can assign differently at
+    the boundary — harmless for ANN cell routing (tested equal on real
+    embeddings), but don't rely on bit-identical cell ids across the
+    dispatch threshold."""
     if len(centroids) <= IVF_EXPR_MAX_CELLS:
         return ivf_assign_col(emb_col, centroids)
     return make_ivf_assign_udf(centroids)(emb_col)

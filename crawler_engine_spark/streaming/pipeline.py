@@ -75,7 +75,12 @@ def stream_politeness_admit(
     trigger — throttled candidates are re-considered, never dropped.  The
     queue is bounded by ``max_pending``; overflow rows are emitted with
     ``admitted = false`` so the caller can re-queue them explicitly (no
-    silent loss).  A host whose queue is non-empty drains further only when
+    silent loss), and re-delivered candidates dedup against the queue.
+
+    NOTE: the state schema (tokens + pending queue) is incompatible with
+    checkpoints written by the tokens-only version of this operator —
+    restart such deployments with a fresh checkpointLocation (Spark rejects
+    the mismatched state schema at startup; there is no migration).  A host whose queue is non-empty drains further only when
     it next appears in a micro-batch (NoTimeout semantics); continuous
     deployments that need idle-host draining should feed periodic empty
     heartbeat candidates or use a processing-time timeout variant.
@@ -105,6 +110,9 @@ def stream_politeness_admit(
             )
         arrivals = [p[["canonical_url", "url_hash"]] for p in pdfs]
         rows = pd.concat([pending] + arrivals, ignore_index=True)
+        # a candidate re-delivered while queued (at-least-once upstream, or
+        # caller re-queuing overflow) must not be admitted twice
+        rows = rows.drop_duplicates(subset="canonical_url")
         rows = rows.sort_values("url_hash", kind="mergesort")
         tokens = min(float(capacity), float(tokens) + float(refill_per_batch))
         n = int(min(len(rows), math.floor(tokens)))

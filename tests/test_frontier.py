@@ -261,6 +261,27 @@ def test_expire_recrawls_only_expired_urls(spark, world):
         assert counts2[u] == 2
 
 
+def test_compaction_prunes_superseded_tombstones(spark, world):
+    """After compaction the base is already tombstone-filtered and all tail
+    deltas postdate the expiry, so batches with expired_at <= compact_upto
+    must be deleted — and the seen view must not change."""
+    eng = _make_engine(spark, world, "state_tomb_prune")
+    eng.run(max_rounds=2)
+    victims = sorted({r["canonical_url"] for r in eng.fetched_log().collect()})[:3]
+    eng.expire(
+        spark.createDataFrame([(u,) for u in victims], "canonical_url string"),
+        requeue=False,
+    )
+    before = {r["canonical_url"] for r in eng.seen().collect()}
+    assert not (set(victims) & before)
+    assert len(os.listdir(eng._tombstones_dir())) == 1
+
+    eng.compact_seen()
+    assert os.listdir(eng._tombstones_dir()) == []  # pruned
+    after = {r["canonical_url"] for r in eng.seen().collect()}
+    assert after == before
+
+
 def test_salted_politeness_bounds_skewed_reducer(spark):
     """SURVEY §4.2 hot-host scenario, structurally: with one host owning 30%
     of the frontier, the salted two-phase selection (a) still returns
