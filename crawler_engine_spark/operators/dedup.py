@@ -130,12 +130,22 @@ def _minhash_batch(
     arithmetic."""
     num_perm = len(a)
     out = []
+    # web corpora share most shingles across documents — memoizing the base
+    # hash per batch cuts md5 calls by the overlap factor
+    memo: dict = {}
     for text in texts:
         sh = set(_shingle_set(text, shingle_n))
         if not sh:
             out.append([0] * num_perm)
             continue
-        h = np.fromiter((md5_low64(s) for s in sh), dtype=np.uint64, count=len(sh))
+        hs = []
+        for s in sh:
+            v = memo.get(s)
+            if v is None:
+                v = md5_low64(s)
+                memo[s] = v
+            hs.append(v)
+        h = np.array(hs, dtype=np.uint64)
         vals = (a[:, None] * h[None, :] + b[:, None]) % np.uint64(_MINHASH_PRIME)
         out.append(vals.min(axis=1).astype(np.int64).tolist())
     return pd.Series(out)
