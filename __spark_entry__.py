@@ -288,6 +288,22 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERY = "spark join window merge stream"
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical retrieval: Okapi BM25 top-20 over documents as pure
+    DataFrame aggregations (explode → map-side-combined tf, tiny broadcast
+    df table, decimal-stable score sum)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = textstats.bm25_scores(d, "text", "doc_id", _BM25_QUERY)
+    return (
+        scored.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .select("doc_id", F.round("bm25", 4).alias("bm25"))
+        .limit(20)
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search: exact cosine top-10 vs the vec_id=0 query vector."""
     e = _t(spark, sf_dir, "embeddings")
@@ -790,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
+        "bm25_topk": q_bm25_topk,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -962,6 +979,44 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_en > 0 THEN 'en'
                         ELSE 'und' END AS lang_pred
             FROM scores
+        """,
+        # bm25_topk: identical formula and operation order on both sides;
+        # per-doc score sums run in DECIMAL(38,18) so addition order cannot
+        # flip the 4-decimal rounding.
+        "bm25_topk": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^\p{L}\p{N}'']+'), t -> t != '') AS ts
+              FROM documents),
+            stats AS (
+              SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(len(ts)) AS DOUBLE) / COUNT(*) AS avgdl
+              FROM toks),
+            hits AS (
+              SELECT doc_id, len(ts) AS dl, unnest(ts) AS term
+              FROM toks),
+            q AS (
+              SELECT doc_id, dl, term, COUNT(*) AS tf
+              FROM hits
+              WHERE term IN ('spark', 'join', 'window', 'merge', 'stream')
+              GROUP BY doc_id, dl, term),
+            dfs AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM q GROUP BY term),
+            contrib AS (
+              SELECT q.doc_id,
+                     ln(1.0 + (CAST(s.n_docs AS DOUBLE) - dfs.df + 0.5)
+                              / (dfs.df + 0.5))
+                       * (q.tf * 2.2)
+                       / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * q.dl / s.avgdl))
+                       AS c
+              FROM q JOIN dfs USING (term) CROSS JOIN stats s)
+            SELECT doc_id,
+                   ROUND(CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE), 4)
+                     AS bm25
+            FROM contrib GROUP BY doc_id
+            ORDER BY CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) DESC,
+                     doc_id ASC LIMIT 20
         """,
         "embedding_topk": """
             SELECT vec_id,

@@ -98,3 +98,69 @@ def char_ngram_fingerprints_col(text: Column, n: int = 8, stride: int = 64) -> C
         ),
         lambda i: F.xxhash64(text.substr(i, F.lit(n))),
     )
+
+
+def bm25_scores(
+    docs,
+    text_col: str,
+    id_col: str,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 over a documents DataFrame — lexical relevance scoring as
+    pure DataFrame aggregations (the retrieval/quality-mining op of a
+    training-data pipeline).
+
+    Plan shape (scale-first): one explode + groupBy(doc, term) for term
+    frequencies (map-side combined), one tiny groupBy(term) for document
+    frequencies (broadcast back — the query vocabulary is a handful of
+    terms), and scalar arithmetic for the score.  No UDFs, no driver-side
+    loops; idf uses the +1 variant (always positive):
+    ln(1 + (N - df + 0.5)/(df + 0.5)).
+    """
+    from pyspark.sql import DataFrame  # local: keep module import surface slim
+
+    q_terms = [t for t in __import__("re").split(r"[^0-9A-Za-z_]+", query.lower()) if t]
+    if not q_terms:
+        raise ValueError("query has no terms")
+    spark = docs.sparkSession
+
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size(tokens_lower(F.col(text_col)))).cast("double")
+         / F.count("*")).alias("avgdl"),
+    ).first()
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.size(tokens_lower(F.col(text_col))).alias("dl"),
+        F.explode(tokens_lower(F.col(text_col))).alias("term"),
+    ).where(F.col("term").isin(q_terms))
+    tf = toks.groupBy("_id", "dl", "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.countDistinct("_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    scored = (
+        tf.join(F.broadcast(df_counts), "term")
+        .withColumn(
+            "contrib",
+            idf
+            * (F.col("tf") * (1.0 + k1))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+        )
+        .groupBy("_id")
+        # per-term contributions sum in decimal so the result is independent
+        # of row order (float addition is not associative; a plain double
+        # sum can differ from a sequential engine in the last ulp)
+        .agg(
+            F.sum(F.col("contrib").cast("decimal(38,18)"))
+            .cast("double")
+            .alias("bm25")
+        )
+        .select(F.col("_id").alias(id_col), "bm25")
+    )
+    return scored

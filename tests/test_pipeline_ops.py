@@ -264,3 +264,40 @@ def test_media_features_no_shuffle(spark):
     media = multimodal.gen_media_df(spark, 10, partitions=2)
     plan = multimodal.extract_media_features(media)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bm25_matches_pure_python(spark, docs):
+    """BM25 vs an independent loop implementation on the real corpus."""
+    import math
+    import re
+
+    from crawler_engine_spark.operators import textstats as ts
+
+    rows = docs.limit(120).collect()
+    corpus = {r["doc_id"]: r["text"] for r in rows}
+    q_terms = ["spark", "join", "window"]
+
+    def toks(t):
+        return [w for w in re.split(r"[^\w']+", t.lower()) if w]
+
+    tok = {i: toks(t) for i, t in corpus.items()}
+    n = len(tok)
+    avgdl = sum(len(v) for v in tok.values()) / n
+    dfs = {q: sum(1 for v in tok.values() if q in v) for q in q_terms}
+    want = {}
+    for i, v in tok.items():
+        s = 0.0
+        for q in q_terms:
+            tf = v.count(q)
+            if not tf or not dfs[q]:
+                continue
+            idf = math.log(1.0 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            s += idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * len(v) / avgdl))
+        if s:
+            want[i] = round(s, 6)
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: round(r["bm25"], 6)
+        for r in ts.bm25_scores(df, "text", "doc_id", " ".join(q_terms)).collect()
+    }
+    assert got == want
