@@ -42,7 +42,10 @@ BENCH_QUERIES = [
     "quality_score",
     "exact_dedup",
     "minhash_near_dup",
+    "near_dup_clusters",
     "simhash",
+    "bm25_topk",
+    "json_extract",
     "embedding_topk",
     "embedding_topk_ivf",
     "media_features",
