@@ -288,6 +288,15 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity proxy: per-document negative mean log-prob
+    under the corpus unigram LM (add-k smoothed), as two map-side-combined
+    aggregations + a term join — no UDFs."""
+    d = _t(spark, sf_dir, "documents")
+    scored = textstats.unigram_logprob_scores(d, "text", "doc_id", k=0.5)
+    return scored.select("doc_id", F.round("nll", 4).alias("nll"))
+
+
 _BM25_QUERY = "spark join window merge stream"
 
 
@@ -807,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "bm25_topk": q_bm25_topk,
+        "unigram_nll": q_unigram_nll,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_ivf": q_embedding_topk_ivf,
         "embedding_near_dup": q_embedding_near_dup,
@@ -979,6 +989,27 @@ def oracle_sql() -> dict[str, str]:
                         WHEN s_en > 0 THEN 'en'
                         ELSE 'und' END AS lang_pred
             FROM scores
+        """,
+        # unigram_nll: identical op order; the per-doc log-prob sum runs in
+        # DECIMAL(38,18) on both sides (addition-order independence).
+        "unigram_nll": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                       '[^\p{L}\p{N}'']+'), t -> t != '') AS ts
+              FROM documents),
+            flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+            vocab AS (SELECT term, COUNT(*) AS c FROM flat GROUP BY term),
+            tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM vocab),
+            lp AS (
+              SELECT term,
+                     ln((c + 0.5) / (CAST(n AS DOUBLE) + 0.5 * v)) AS logp
+              FROM vocab CROSS JOIN tot)
+            SELECT doc_id,
+                   ROUND(-(CAST(SUM(CAST(logp AS DECIMAL(38,18))) AS DOUBLE)
+                           / COUNT(*)), 4) AS nll
+            FROM flat JOIN lp USING (term)
+            GROUP BY doc_id
         """,
         # bm25_topk: identical formula and operation order on both sides;
         # per-doc score sums run in DECIMAL(38,18) so addition order cannot

@@ -164,3 +164,39 @@ def bm25_scores(
         .select(F.col("_id").alias(id_col), "bm25")
     )
     return scored
+
+
+def unigram_logprob_scores(docs, text_col: str, id_col: str, k: float = 0.5):
+    """Corpus-unigram negative mean log-probability per document — the
+    perplexity-proxy quality filter of CCNet-style pipelines (typical text
+    scores low, gibberish/outlier vocab scores high).
+
+    Two aggregations, both map-side combined: the corpus term-frequency
+    table (term → count) and per-document means; term probabilities are
+    add-k smoothed: p(t) = (c_t + k) / (N + k·V).  The per-document log-sum
+    runs in decimal so addition order cannot move the rounded score.  At
+    the 100 TB design point the frequency table is built once and reused
+    (shuffle join on term; AQE splits the inevitable stopword skew).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_lower(F.col(text_col))).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_tokens"), F.count("*").alias("v_size")
+    ).first()
+    n_total, v_size = int(totals["n_tokens"]), int(totals["v_size"])
+    denom = float(n_total) + k * float(v_size)
+    logp = F.log((F.col("c") + F.lit(k)) / F.lit(denom))
+    return (
+        toks.join(vocab.withColumn("logp", logp).drop("c"), "term")
+        .groupBy("_id")
+        .agg(
+            (
+                -(F.sum(F.col("logp").cast("decimal(38,18)")).cast("double")
+                  / F.count("*"))
+            ).alias("nll")
+        )
+        .select(F.col("_id").alias(id_col), "nll")
+    )

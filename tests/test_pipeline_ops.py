@@ -301,3 +301,45 @@ def test_bm25_matches_pure_python(spark, docs):
         for r in ts.bm25_scores(df, "text", "doc_id", " ".join(q_terms)).collect()
     }
     assert got == want
+
+
+def test_unigram_nll_matches_pure_python(spark, docs):
+    """Corpus-unigram NLL vs an independent loop implementation."""
+    import math
+    import re
+    from collections import Counter
+
+    from crawler_engine_spark.operators import textstats as ts
+
+    rows = docs.limit(100).collect()
+    corpus = {r["doc_id"]: r["text"] for r in rows}
+
+    def toks(t):
+        return [w for w in re.split(r"[^\w']+", t.lower()) if w]
+
+    tok = {i: toks(t) for i, t in corpus.items()}
+    counts = Counter(w for v in tok.values() for w in v)
+    n = sum(counts.values())
+    v = len(counts)
+    denom = float(n) + 0.5 * float(v)
+    want = {
+        i: round(-(sum(math.log((counts[w] + 0.5) / denom) for w in ws) / len(ws)), 6)
+        for i, ws in tok.items() if ws
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: round(r["nll"], 6)
+        for r in ts.unigram_logprob_scores(df, "text", "doc_id").collect()
+    }
+    assert got == want
+    # sanity: gibberish (rare vocab) scores higher than typical docs
+    typical = sum(want.values()) / len(want)
+    rare_df = spark.createDataFrame(
+        list(corpus.items()) + [(9999, "zzyzx qwfp vvkj xxuu zzyzx qqq")],
+        "doc_id long, text string",
+    )
+    rare = {
+        r["doc_id"]: r["nll"]
+        for r in ts.unigram_logprob_scores(rare_df, "text", "doc_id").collect()
+    }
+    assert rare[9999] > typical
