@@ -204,6 +204,38 @@ def q_first_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization over the events stream (30-min gap): the custom
+    windowed operator the brief names — pure window composition."""
+    from crawler_engine_spark.operators.windowed import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    out = sessionize(e, "user_id", "ts", gap_seconds=1800, order_cols=["event_id"])
+    return out.select("user_id", "event_id", "session_id")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every event picks the latest profile 'rate' update at or
+    before its timestamp (updates synthesized deterministically from the
+    events stream itself; DuckDB's native ASOF LEFT JOIN is the oracle)."""
+    from crawler_engine_spark.operators.windowed import asof_join
+
+    e = _t(spark, sf_dir, "events")
+    updates = (
+        e.where(F.col("event_id") % 17 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 4).alias("rate"))
+    )
+    left = e.select("user_id", "event_id", "ts")
+    out = asof_join(left, updates, on="user_id", ts_col="ts", value_cols=["rate"])
+    # no-match sentinel instead of null: engines disagree on whether a null
+    # double surfaces as None or NaN through pandas, which would skew the
+    # value hash even though the semantics agree
+    return out.select(
+        "event_id", "user_id", F.coalesce("rate", F.lit(-1.0)).alias("rate")
+    )
+
+
 def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2-analog: broadcast dimension joins customer ⋈ nation ⋈ region."""
     c = _t(spark, sf_dir, "customer")
@@ -807,6 +839,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_metrics": q_partition_metrics,
         "topk_orders": q_topk_orders,
         "first_events_per_user": q_first_events_per_user,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
         "region_rollup": q_region_rollup,
         "revenue_by_segment": q_revenue_by_segment,
         "pricing_summary": q_pricing_summary,
@@ -927,6 +961,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_id,
                      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
               FROM events) WHERE rn <= 3
+        """,
+        "sessionize": """
+            SELECT user_id, event_id,
+                   CAST(SUM(CASE WHEN prev_us IS NULL
+                             OR epoch_us(ts) - prev_us > 1800 * 1000000
+                            THEN 1 ELSE 0 END)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+            FROM (
+              SELECT user_id, event_id, ts,
+                     LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_us
+              FROM events)
+        """,
+        "asof_join": """
+            WITH updates AS (
+              SELECT user_id, ts, ROUND(MAX(value), 4) AS rate
+              FROM events WHERE event_id % 17 = 0
+              GROUP BY user_id, ts)
+            SELECT e.event_id, e.user_id, COALESCE(u.rate, -1.0) AS rate
+            FROM events e
+            ASOF LEFT JOIN updates u
+              ON e.user_id = u.user_id AND e.ts >= u.ts
         """,
         "region_rollup": """
             SELECT r_name AS region, COUNT(*) AS customers,

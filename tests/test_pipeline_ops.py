@@ -343,3 +343,50 @@ def test_unigram_nll_matches_pure_python(spark, docs):
         for r in ts.unigram_logprob_scores(rare_df, "text", "doc_id").collect()
     }
     assert rare[9999] > typical
+
+
+def test_asof_join_semantics(spark):
+    """Inclusive as-of: events pick the latest update at-or-before their
+    ts; no-update events get null."""
+    import datetime as dt
+
+    from crawler_engine_spark.operators.windowed import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 100, t(5)), (1, 101, t(10)), (1, 102, t(3)), (2, 200, t(7))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(4), 1.5), (1, t(10), 2.5), (3, t(1), 9.9)],
+        "user_id long, ts timestamp, rate double",
+    )
+    got = {
+        r["event_id"]: r["rate"]
+        for r in asof_join(left, right, "user_id", "ts", ["rate"]).collect()
+    }
+    assert got == {
+        100: 1.5,   # latest <= t5 is t4
+        101: 2.5,   # equal timestamp applies (inclusive)
+        102: None,  # before any update
+        200: None,  # user has no updates
+    }
+
+
+def test_sessionize_semantics(spark):
+    import datetime as dt
+
+    from crawler_engine_spark.operators.windowed import sessionize
+
+    t = lambda m: dt.datetime(2026, 1, 1, 0, m, 0)
+    df = spark.createDataFrame(
+        [(1, 1, t(0)), (1, 2, t(10)), (1, 3, t(45)), (1, 4, t(50)), (2, 5, t(0))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(df, "user_id", "ts", gap_seconds=1800,
+                            order_cols=["event_id"]).collect()
+    }
+    # 30-min gap: events at 0,10 are session 1; 45,50 session 2; user 2 own session 1
+    assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
