@@ -236,6 +236,43 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join, bin-bucketized: which overlapping
+    price bands contain each order — the brief-named custom operator
+    realized as explode-to-bins + equi-join + exact filter."""
+    from crawler_engine_spark.operators.windowed import range_join
+
+    o = _t(spark, sf_dir, "orders")
+    bands = spark.range(10).select(
+        F.col("id").alias("band_id"),
+        (F.col("id") * 20000.0).alias("lo"),
+        (F.col("id") * 20000.0 + 24999.0).alias("hi"),
+    )
+    pts = o.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    out = range_join(pts, bands, "price", "lo", "hi", bin_width=20000.0)
+    return out.select("o_orderkey", "band_id")
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: multi-granularity rollup
+    (type × day → type → grand total) with decimal-stable sums."""
+    e = _t(spark, sf_dir, "events")
+    rolled = e.rollup(F.col("event_type"), F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,12)")).cast("double"), 2
+        ).alias("sum_value"),
+    )
+    # subtotal marker rows render as 'ALL' (sortable/hashable everywhere,
+    # unlike mixed null/date columns)
+    return rolled.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+        "n",
+        "sum_value",
+    )
+
+
 def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2-analog: broadcast dimension joins customer ⋈ nation ⋈ region."""
     c = _t(spark, sf_dir, "customer")
@@ -841,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "first_events_per_user": q_first_events_per_user,
         "sessionize": q_sessionize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
+        "events_rollup": q_events_rollup,
         "region_rollup": q_region_rollup,
         "revenue_by_segment": q_revenue_by_segment,
         "pricing_summary": q_pricing_summary,
@@ -984,6 +1023,24 @@ def oracle_sql() -> dict[str, str]:
             FROM events e
             ASOF LEFT JOIN updates u
               ON e.user_id = u.user_id AND e.ts >= u.ts
+        """,
+        "range_join": """
+            WITH bands AS (
+              SELECT i AS band_id, i * 20000.0 AS lo,
+                     i * 20000.0 + 24999.0 AS hi
+              FROM range(10) t(i))
+            SELECT o_orderkey, band_id
+            FROM orders JOIN bands
+              ON o_totalprice >= lo AND o_totalprice <= hi
+        """,
+        "events_rollup": """
+            SELECT COALESCE(event_type, 'ALL') AS event_type,
+                   COALESCE(CAST(CAST(ts AS DATE) AS VARCHAR), 'ALL') AS day,
+                   COUNT(*) AS n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 2)
+                     AS sum_value
+            FROM events
+            GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
         """,
         "region_rollup": """
             SELECT r_name AS region, COUNT(*) AS customers,

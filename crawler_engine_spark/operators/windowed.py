@@ -81,3 +81,42 @@ def sessionize(
         Window.unboundedPreceding, Window.currentRow
     )
     return df.withColumn("session_id", F.sum(new_session).over(run))
+
+
+def range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    point_col: str,
+    lower_col: str,
+    upper_col: str,
+    bin_width: float,
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Range (interval-containment) join: each point row pairs with every
+    range row where ``lower <= point <= upper`` (and optional equi-keys
+    match) — without the cartesian blow-up of a naive non-equi join.
+
+    Scale shape: every range explodes into the fixed-width bins it covers,
+    points map to their single bin, and the match becomes an equi-join on
+    (keys, bin) + an exact containment filter.  Shuffle volume is
+    |points| + |ranges|·(span/bin_width); pick bin_width near the typical
+    range span so most ranges cover O(1) bins.  No duplicates are possible:
+    a point lives in exactly one bin, and a range covers that bin at most
+    once.
+    """
+    lo_bin = F.floor(F.col(lower_col) / F.lit(bin_width)).cast("long")
+    hi_bin = F.floor(F.col(upper_col) / F.lit(bin_width)).cast("long")
+    r = ranges.withColumn("_bin", F.explode(F.sequence(lo_bin, hi_bin)))
+    p = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / F.lit(bin_width)).cast("long")
+    )
+    cond = [p["_bin"] == r["_bin"]] + [p[k] == r[k] for k in keys]
+    joined = p.join(r, cond)
+    return (
+        joined.where(
+            (p[point_col] >= r[lower_col]) & (p[point_col] <= r[upper_col])
+        )
+        .drop(r["_bin"])
+        .drop(p["_bin"])
+        .drop(*[r[k] for k in keys])
+    )

@@ -390,3 +390,22 @@ def test_sessionize_semantics(spark):
     }
     # 30-min gap: events at 0,10 are session 1; 45,50 session 2; user 2 own session 1
     assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_range_join_semantics(spark):
+    """Bin-bucketized range join = exact containment, incl. ranges spanning
+    many bins, overlapping ranges, and points matching nothing."""
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 25.0), (3, 999.0), (4, 10.0)], "pid long, x double"
+    )
+    rng = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 8.0, 30.0), (12, 100.0, 500.0)],
+        "rid long, lo double, hi double",
+    )
+    from crawler_engine_spark.operators.windowed import range_join
+
+    got = {
+        (r["pid"], r["rid"])
+        for r in range_join(pts, rng, "x", "lo", "hi", bin_width=7.0).collect()
+    }
+    assert got == {(1, 10), (2, 11), (4, 10), (4, 11)}
