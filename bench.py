@@ -45,7 +45,12 @@ BENCH_QUERIES = [
     "near_dup_clusters",
     "simhash",
     "bm25_topk",
+    "unigram_nll",
     "json_extract",
+    "sessionize",
+    "asof_join",
+    "range_join",
+    "events_rollup",
     "embedding_topk",
     "embedding_topk_ivf",
     "media_features",
