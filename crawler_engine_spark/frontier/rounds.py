@@ -261,6 +261,22 @@ class CrawlEngine:
             return None
         return self.spark.read.schema(self._TOMBSTONE_SCHEMA).parquet(*batches)
 
+    def _next_expire_seq(self) -> int:
+        """Monotonic expire-batch counter, persisted in the state dir (the
+        increment is written before the batch, so a crash at worst skips a
+        number — never reuses one)."""
+        path = os.path.join(self.state_dir, "expire_seq")
+        try:
+            with open(path) as f:
+                seq = int(f.read().strip())
+        except (OSError, ValueError):
+            seq = 0
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(seq + 1))
+        os.replace(tmp, path)
+        return seq
+
     def _consumed_requeue(self) -> set:
         """Requeue batches recorded as consumed by committed rounds.
         Cached incrementally per engine instance — without the cache a
@@ -301,12 +317,12 @@ class CrawlEngine:
             return 0
         expired_at = self.last_committed()
         t_root = self._tombstones_dir()
-        existing = [
-            n for n in (os.listdir(t_root) if os.path.isdir(t_root) else [])
-            if not n.endswith(".tmp")
-        ]
-        # expired_at in the name lets compaction prune superseded batches
-        batch = f"batch-{len(existing):05d}-at{expired_at}"
+        # Monotonic persistent sequence, NOT a dir count: pruning deletes
+        # tombstone batches, so a count-derived name would collide with a
+        # surviving requeue dir of the same name (os.rename failure) or —
+        # worse — with a name already in a commit's consumed_requeue list,
+        # silently suppressing the new batch's recrawl.
+        batch = f"batch-{self._next_expire_seq():08d}-at{expired_at}"
         # crash-safe: write to a .tmp dir, atomic-rename into place last —
         # readers skip .tmp, so a killed expire() can never poison reads
         t_tmp = os.path.join(t_root, batch + ".tmp")

@@ -5,7 +5,17 @@ designed to run in the same scan as extraction output post-processing.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, functions as F
+
+
+def _py_tokens(text: str) -> list:
+    """Python twin of tokens_lower (``[^\\p{L}\\p{N}']+`` split): \\w covers
+    letters+digits+underscore, so split on non-[\\w'] first, then break the
+    underscores the JVM regex treats as separators."""
+    rough = [t for t in re.split(r"[^\w']+", (text or "").lower()) if t]
+    return [p for t in rough for p in t.split("_") if p]
 
 # Marker stopwords per language (n-gram-free heuristic: stopword hit ratio).
 _LANG_MARKERS = {
@@ -119,18 +129,22 @@ def bm25_scores(
     loops; idf uses the +1 variant (always positive):
     ln(1 + (N - df + 0.5)/(df + 0.5)).
     """
-    from pyspark.sql import DataFrame  # local: keep module import surface slim
-
-    q_terms = [t for t in __import__("re").split(r"[^0-9A-Za-z_]+", query.lower()) if t]
+    # query must tokenize exactly like the documents, or non-ASCII /
+    # apostrophe / underscore terms silently never match
+    q_terms = _py_tokens(query)
     if not q_terms:
         raise ValueError("query has no terms")
-    spark = docs.sparkSession
 
     stats = docs.agg(
         F.count("*").alias("n_docs"),
         (F.sum(F.size(tokens_lower(F.col(text_col)))).cast("double")
          / F.count("*")).alias("avgdl"),
     ).first()
+    if not stats["n_docs"] or stats["avgdl"] is None or not stats["avgdl"]:
+        # empty corpus (or no tokens anywhere): empty result, right schema
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} {dict(docs.dtypes)[id_col]}, bm25 double"
+        )
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
 
     toks = docs.select(
@@ -182,10 +196,16 @@ def unigram_logprob_scores(docs, text_col: str, id_col: str, k: float = 0.5):
         F.col(id_col).alias("_id"),
         F.explode(tokens_lower(F.col(text_col))).alias("term"),
     )
-    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
+    # cached: both the totals action and the scoring join read this table —
+    # without the cache the full corpus tokenize+aggregate runs twice
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c")).cache()
     totals = vocab.agg(
         F.sum("c").alias("n_tokens"), F.count("*").alias("v_size")
     ).first()
+    if totals["n_tokens"] is None:
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} {dict(docs.dtypes)[id_col]}, nll double"
+        )
     n_total, v_size = int(totals["n_tokens"]), int(totals["v_size"])
     denom = float(n_total) + k * float(v_size)
     logp = F.log((F.col("c") + F.lit(k)) / F.lit(denom))

@@ -34,13 +34,26 @@ def asof_join(
     same AQE/salting story as any single-key window.
 
     Right rows must be unique per (key, ts) — pre-aggregate if not (ties
-    would resolve nondeterministically).
+    would resolve nondeterministically).  The whole right row is carried as
+    ONE struct, so a matched row whose value is genuinely null yields null
+    (not an older value), and multi-column values always come from the same
+    right row.
     """
-    l = left
-    for v in value_cols:
-        l = l.withColumn(v, F.lit(None).cast(dict(right.dtypes)[v]))
-    l = l.withColumn("_side", F.lit(1))
-    r = right.select(on, ts_col, *value_cols)
+    clash = set(value_cols) & set(left.columns)
+    if clash:
+        raise ValueError(
+            f"value_cols {sorted(clash)} already exist on the left side — "
+            "rename them before the join (the output would silently shadow "
+            "the left columns otherwise)"
+        )
+    rtypes = dict(right.dtypes)
+    l = left.withColumn(
+        "_rv",
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{v}:{rtypes[v]}" for v in value_cols) + ">"
+        ),
+    ).withColumn("_side", F.lit(1))
+    r = right.select(on, ts_col, F.struct(*value_cols).alias("_rv"))
     for c in left.columns:
         if c not in (on, ts_col):
             r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
@@ -51,9 +64,11 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    u = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    out = u.where(F.col("_side") == 1)
     for v in value_cols:
-        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
-    return u.where(F.col("_side") == 1).drop("_side")
+        out = out.withColumn(v, F.col(f"_rv.{v}"))
+    return out.drop("_rv", "_side")
 
 
 def sessionize(

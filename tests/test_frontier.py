@@ -261,6 +261,32 @@ def test_expire_recrawls_only_expired_urls(spark, world):
         assert counts2[u] == 2
 
 
+def test_expire_after_prune_never_reuses_batch_names(spark, world):
+    """The expire-batch counter is persistent: pruning tombstones must not
+    make a later expire() reuse a name (which would collide with the
+    surviving requeue dir or with a committed consumed_requeue entry)."""
+    eng = _make_engine(spark, world, "state_expire_seq")
+    eng.run(max_rounds=2)
+    fetched = sorted({r["canonical_url"] for r in eng.fetched_log().collect()})
+    one = spark.createDataFrame([(fetched[0],)], "canonical_url string")
+    two = spark.createDataFrame([(fetched[1],)], "canonical_url string")
+
+    eng.expire(one, requeue=True)
+    first_names = set(os.listdir(eng._requeue_dir()))
+    eng.compact_seen()  # prunes the tombstone batch
+    assert os.listdir(eng._tombstones_dir()) == []
+    eng.expire(two, requeue=True)  # must not collide/reuse
+    second_names = set(os.listdir(eng._requeue_dir())) - first_names
+    assert len(second_names) == 1
+    assert not (second_names & first_names)
+    # both requeue batches are consumable: the next rounds refetch both
+    from collections import Counter
+
+    eng.run(max_rounds=3)
+    counts = Counter(r["canonical_url"] for r in eng.fetched_log().collect())
+    assert counts[fetched[0]] == 2 and counts[fetched[1]] == 2
+
+
 def test_compaction_prunes_superseded_tombstones(spark, world):
     """After compaction the base is already tombstone-filtered and all tail
     deltas postdate the expiry, so batches with expired_at <= compact_upto

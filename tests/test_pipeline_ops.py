@@ -409,3 +409,48 @@ def test_range_join_semantics(spark):
         for r in range_join(pts, rng, "x", "lo", "hi", bin_width=7.0).collect()
     }
     assert got == {(1, 10), (2, 11), (4, 10), (4, 11)}
+
+
+def test_asof_join_null_right_value_and_collision(spark):
+    """A matched right row whose value is genuinely null must yield null
+    (not an older value); left/value column name collisions fail loudly."""
+    import datetime as dt
+
+    from crawler_engine_spark.operators.windowed import asof_join
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 100, t(20))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 5.0), (1, t(10), None)],
+        "user_id long, ts timestamp, rate double",
+    )
+    row = asof_join(left, right, "user_id", "ts", ["rate"]).first()
+    assert row["rate"] is None  # latest row matched, its null carried
+
+    clashing = left.withColumnRenamed("event_id", "rate")
+    with pytest.raises(ValueError, match="already exist on the left"):
+        asof_join(clashing, right, "user_id", "ts", ["rate"])
+
+
+def test_bm25_query_tokenizer_matches_documents(spark):
+    from crawler_engine_spark.operators import textstats as ts
+
+    df = spark.createDataFrame(
+        [(1, "don't panic about the café"), (2, "unrelated words entirely here")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"] for r in ts.bm25_scores(df, "text", "doc_id", "don't café").collect()}
+    assert got == {1}
+
+    empty = ts.bm25_scores(df.where(F.lit(False)), "text", "doc_id", "x")
+    assert empty.count() == 0 and empty.columns == ["doc_id", "bm25"]
+
+
+def test_unigram_empty_corpus(spark):
+    from crawler_engine_spark.operators import textstats as ts
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = ts.unigram_logprob_scores(df, "text", "doc_id")
+    assert out.count() == 0 and out.columns == ["doc_id", "nll"]
