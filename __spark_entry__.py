@@ -183,6 +183,24 @@ def q_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per order priority (distribution
+    profiling — Spark `percentile` ≡ DuckDB `quantile_cont`)."""
+    o = _t(spark, sf_dir, "orders")
+    qs = F.expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.95D))")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(qs.alias("q"))
+        .select(
+            "o_orderpriority",
+            F.round(F.element_at("q", 1), 4).alias("p25"),
+            F.round(F.element_at("q", 2), 4).alias("p50"),
+            F.round(F.element_at("q", 3), 4).alias("p75"),
+            F.round(F.element_at("q", 4), 4).alias("p95"),
+        )
+    )
+
+
 def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: global top-k (TakeOrderedAndProject, no full sort)."""
     o = _t(spark, sf_dir, "orders")
@@ -874,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strategy_running_avg": q_strategy_running_avg,
         "word_counts": q_word_counts,
         "partition_metrics": q_partition_metrics,
+        "price_quantiles": q_price_quantiles,
         "topk_orders": q_topk_orders,
         "first_events_per_user": q_first_events_per_user,
         "sessionize": q_sessionize,
@@ -990,6 +1009,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                    ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars
             FROM documents GROUP BY source
+        """,
+        "price_quantiles": """
+            SELECT o_orderpriority,
+                   ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+                   ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+            FROM orders GROUP BY o_orderpriority
         """,
         "topk_orders": """
             SELECT o_orderkey, ROUND(o_totalprice, 4) AS total_price
