@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "asof_join",
     "range_join",
     "events_rollup",
+    "price_quantiles",
     "embedding_topk",
     "embedding_topk_ivf",
     "media_features",
