@@ -213,3 +213,36 @@ def test_compacted_seen_scan_reads_single_base(spark, tmp_path):
     eng.run(max_rounds=3)
     plan = _plan(eng.seen())
     assert plan.count("FileScan") == 1  # the compact base only
+
+
+def test_windowed_operator_plans(spark):
+    """asof_join: ONE key shuffle, no Python, never single-partition;
+    sessionize: both windows share one exchange; range_join: a real
+    equi-join (no nested-loop cartesian)."""
+    import datetime as dt
+
+    from crawler_engine_spark.operators.windowed import (
+        asof_join,
+        range_join,
+        sessionize,
+    )
+
+    t = lambda s: dt.datetime(2026, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 100, t(5))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(4), 1.5)], "user_id long, ts timestamp, rate double"
+    )
+    p = _plan(asof_join(left, right, "user_id", "ts", ["rate"]))
+    assert p.count("Exchange") == 1
+    assert "SinglePartition" not in p
+    assert "Python" not in p
+
+    p = _plan(sessionize(left, "user_id", "ts", 60))
+    assert p.count("Exchange") == 1 and p.count("Window") == 2
+
+    pts = spark.createDataFrame([(1, 5.0)], "pid long, x double")
+    rng = spark.createDataFrame([(10, 0.0, 10.0)], "rid long, lo double, hi double")
+    p = _plan(range_join(pts, rng, "x", "lo", "hi", 5.0))
+    assert "NestedLoop" not in p
