@@ -1,9 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-``queries()`` maps SURVEY.md §2 operators onto the driver-provided tables;
-``oracle_sql()`` gives DuckDB-checkable ANSI SQL for every SQL-expressible
-query (non-expressible ones — extraction kernels, MinHash/SimHash hashing,
-LSH recall paths — are rows-only checked by design and noted inline).
+``queries()`` maps SURVEY.md §2 operators (plus the training-data/windowed
+additions) onto the driver-provided tables; ``oracle_sql()`` gives a
+DuckDB-checkable oracle for EVERY query — including the hashing kernels
+(md5-low64 recomputed via HUGEINT arithmetic) — so nothing in the catalog
+is rows-only/self-certified.
 
 Column names are aliased identically on both sides; floats are rounded to 4
 decimals on both sides so value-hashes compare deterministically.
@@ -368,7 +369,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring (rows-only: float-formula heavy)."""
+    """Quality scoring (oracle mirrors the exact term order)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.round(textstats.quality_score_col(F.col("text")), 4).alias("quality")

@@ -266,10 +266,19 @@ class CrawlEngine:
         increment is written before the batch, so a crash at worst skips a
         number — never reuses one)."""
         path = os.path.join(self.state_dir, "expire_seq")
-        try:
+        if os.path.exists(path):
+            # an unreadable/corrupt counter must NOT silently reset to 0 —
+            # that reintroduces batch-name reuse (a reused name matching a
+            # committed consumed_requeue entry suppresses the recrawl)
             with open(path) as f:
-                seq = int(f.read().strip())
-        except (OSError, ValueError):
+                raw = f.read().strip()
+            try:
+                seq = int(raw)
+            except ValueError as exc:
+                raise RuntimeError(
+                    f"corrupt expire_seq counter at {path!r}: {raw!r}"
+                ) from exc
+        else:
             seq = 0
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

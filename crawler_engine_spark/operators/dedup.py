@@ -131,9 +131,14 @@ def _minhash_batch(
     num_perm = len(a)
     out = []
     # web corpora share most shingles across documents — memoizing the base
-    # hash per batch cuts md5 calls by the overlap factor
+    # hash per batch cuts md5 calls by the overlap factor; the memo is
+    # bounded so a low-overlap corpus cannot hold every shingle of a whole
+    # Arrow batch in memory
     memo: dict = {}
+    _MEMO_CAP = 2_000_000
     for text in texts:
+        if len(memo) > _MEMO_CAP:
+            memo.clear()
         sh = set(_shingle_set(text, shingle_n))
         if not sh:
             out.append([0] * num_perm)

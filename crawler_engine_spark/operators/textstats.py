@@ -135,17 +135,13 @@ def bm25_scores(
     if not q_terms:
         raise ValueError("query has no terms")
 
+    # corpus stats stay IN the plan (1-row broadcast cross-join) — no eager
+    # driver collect, and an empty corpus yields an empty result naturally
     stats = docs.agg(
-        F.count("*").alias("n_docs"),
+        F.count("*").cast("double").alias("_n_docs"),
         (F.sum(F.size(tokens_lower(F.col(text_col)))).cast("double")
-         / F.count("*")).alias("avgdl"),
-    ).first()
-    if not stats["n_docs"] or stats["avgdl"] is None or not stats["avgdl"]:
-        # empty corpus (or no tokens anywhere): empty result, right schema
-        return docs.sparkSession.createDataFrame(
-            [], f"{id_col} {dict(docs.dtypes)[id_col]}, bm25 double"
-        )
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+         / F.count("*")).alias("_avgdl"),
+    )
 
     toks = docs.select(
         F.col(id_col).alias("_id"),
@@ -156,15 +152,16 @@ def bm25_scores(
     df_counts = tf.groupBy("term").agg(F.countDistinct("_id").alias("df"))
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        + (F.col("_n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     scored = (
         tf.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "contrib",
             idf
             * (F.col("tf") * (1.0 + k1))
-            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("_avgdl"))),
         )
         .groupBy("_id")
         # per-term contributions sum in decimal so the result is independent
@@ -188,29 +185,31 @@ def unigram_logprob_scores(docs, text_col: str, id_col: str, k: float = 0.5):
     Two aggregations, both map-side combined: the corpus term-frequency
     table (term → count) and per-document means; term probabilities are
     add-k smoothed: p(t) = (c_t + k) / (N + k·V).  The per-document log-sum
-    runs in decimal so addition order cannot move the rounded score.  At
-    the 100 TB design point the frequency table is built once and reused
-    (shuffle join on term; AQE splits the inevitable stopword skew).
+    runs in decimal so addition order cannot move the rounded score.  The
+    whole computation is one lazy plan (ReuseExchange shares the vocab
+    aggregation); at the 100 TB design point persist the vocab table
+    yourself and reuse it across calls (shuffle join on term; AQE splits
+    the inevitable stopword skew).
     """
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.explode(tokens_lower(F.col(text_col))).alias("term"),
     )
-    # cached: both the totals action and the scoring join read this table —
-    # without the cache the full corpus tokenize+aggregate runs twice
-    vocab = toks.groupBy("term").agg(F.count("*").alias("c")).cache()
+    # fully lazy single plan: totals ride along as a 1-row broadcast
+    # cross-join (no eager collect, no cache to leak; Spark's ReuseExchange
+    # dedupes the shared vocab aggregation subtree), and an empty corpus
+    # yields an empty result naturally
+    vocab = toks.groupBy("term").agg(F.count("*").alias("c"))
     totals = vocab.agg(
-        F.sum("c").alias("n_tokens"), F.count("*").alias("v_size")
-    ).first()
-    if totals["n_tokens"] is None:
-        return docs.sparkSession.createDataFrame(
-            [], f"{id_col} {dict(docs.dtypes)[id_col]}, nll double"
-        )
-    n_total, v_size = int(totals["n_tokens"]), int(totals["v_size"])
-    denom = float(n_total) + k * float(v_size)
-    logp = F.log((F.col("c") + F.lit(k)) / F.lit(denom))
+        F.sum("c").cast("double").alias("_n"),
+        F.count("*").cast("double").alias("_v"),
+    )
+    lp = vocab.crossJoin(F.broadcast(totals)).withColumn(
+        "logp",
+        F.log((F.col("c") + F.lit(k)) / (F.col("_n") + F.lit(k) * F.col("_v"))),
+    ).select("term", "logp")
     return (
-        toks.join(vocab.withColumn("logp", logp).drop("c"), "term")
+        toks.join(lp, "term")
         .groupBy("_id")
         .agg(
             (

@@ -46,6 +46,13 @@ def asof_join(
             "rename them before the join (the output would silently shadow "
             "the left columns otherwise)"
         )
+    internal = {"_rv", "_side"} & set(left.columns)
+    if internal:
+        raise ValueError(f"left columns {sorted(internal)} collide with "
+                         "asof_join internals — rename them")
+    # a NULL right timestamp sorts NULLS FIRST and would pose as the
+    # earliest update; ASOF semantics (ts >= u.ts) never match NULL
+    right = right.where(F.col(ts_col).isNotNull())
     rtypes = dict(right.dtypes)
     l = left.withColumn(
         "_rv",
@@ -84,6 +91,8 @@ def sessionize(
     timestamp ties deterministically.  One shuffle on the user key; both
     windows share the same partitioning, so the second adds no exchange.
     """
+    if "session_id" in df.columns:
+        raise ValueError("input already has a session_id column — rename it")
     order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in order_cols]
     w = Window.partitionBy(user_col).orderBy(*order)
     # cast-through-timestamp handles both TIMESTAMP and TIMESTAMP_NTZ inputs
@@ -119,6 +128,8 @@ def range_join(
     a point lives in exactly one bin, and a range covers that bin at most
     once.
     """
+    if "_bin" in points.columns or "_bin" in ranges.columns:
+        raise ValueError("inputs must not carry a _bin column — rename it")
     lo_bin = F.floor(F.col(lower_col) / F.lit(bin_width)).cast("long")
     hi_bin = F.floor(F.col(upper_col) / F.lit(bin_width)).cast("long")
     r = ranges.withColumn("_bin", F.explode(F.sequence(lo_bin, hi_bin)))
