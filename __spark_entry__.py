@@ -793,6 +793,124 @@ def q_shape_template(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Corpus-preparation operators (operators/corpusops.py): PII redaction,
+# repetition/quality signals, URL features, decontamination, sampling,
+# packing, chunk dedup — the training-data tier over the same tables.
+# --------------------------------------------------------------------------
+
+
+def _pii_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with deterministic PII appended (both engines build the
+    same string; the corpus itself contains none)."""
+    d = _t(spark, sf_dir, "documents")
+    n = F.col("doc_id").cast("string")
+    txt = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), n,
+        F.lit("@mail"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example or 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-0199 from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 now"),
+    )
+    return d.select("doc_id", txt.alias("pii_text"))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + counts (emails, phones, IPv4) as pure column
+    expressions — the scrub step of a training-data pipeline."""
+    from crawler_engine_spark.operators import corpusops
+
+    base = _pii_texts(spark, sf_dir)
+    counts = corpusops.pii_counts(F.col("pii_text"))
+    return base.select(
+        "doc_id",
+        corpusops.redact_pii_col(F.col("pii_text")).alias("redacted"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+    )
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals + composite keep flag, as two
+    map-side-combined aggregations (no windows, no UDFs)."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    return corpusops.repetition_stats(d, "text", "doc_id")
+
+
+def q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed URL filtering features (host, tld, path depth, param count,
+    fragment flag) as pure column expressions."""
+    from crawler_engine_spark.operators import corpusops
+
+    urls = _order_urls(spark, sf_dir)
+    f = corpusops.url_feature_cols(F.col("raw_url"))
+    return urls.select(
+        "okey",
+        f["host"].alias("host"),
+        f["tld"].alias("tld"),
+        f["path_depth"].cast("long").alias("path_depth"),
+        f["n_params"].cast("long").alias("n_params"),
+        f["has_fragment"].alias("has_fragment"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any sliding 5-gram with
+    a (synthesized) benchmark set — broadcast semi-join on the gram."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0).select(
+        corpusops.leading_ngram_col(F.col("text"), 5).alias("gram")
+    )
+    return corpusops.decontaminate(d, "text", "doc_id", bench, n=5)
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-stratified sampling audit: per (lang, source)
+    kept/total counts under a 20% md5-keyed Bernoulli sample."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    return corpusops.stratified_sample_counts(
+        d, "doc_id", ["lang", "source"], pct=20
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token bins per source stream — the
+    stateful per-group fold (applyInPandas); oracle = recursive CTE."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source", textstats.token_count_col(F.col("text")).alias("wc")
+    )
+    return corpusops.pack_sequences(docs, "doc_id", "wc", "source", cap=256)
+
+
+_BOILER = "shared footer boilerplate all rights reserved contact legal team today"
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style cross-document chunk dedup: a 10-token boilerplate
+    header is prepended to every doc (aligned to the chunk stride), and the
+    operator must strip it corpus-wide while unique prose survives."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id", F.concat(F.lit(_BOILER + " "), F.col("text")).alias("btext")
+    )
+    return corpusops.chunk_dedup(synth, "btext", "doc_id", chunk_tokens=10)
+
+
+# --------------------------------------------------------------------------
 # Generated oracle SQL for the hashing kernels (the engine's md5-low64 base
 # hash is exactly CAST('0x' || substr(md5(s),1,16) AS UBIGINT) in DuckDB)
 # --------------------------------------------------------------------------
@@ -933,6 +1051,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_template": q_shape_template,
         "shape_schema_json": q_shape_schema_json,
         "json_extract": q_json_extract,
+        "pii_redact": q_pii_redact,
+        "gopher_quality": q_gopher_quality,
+        "url_features": q_url_features,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "pack_sequences": q_pack_sequences,
+        "chunk_dedup": q_chunk_dedup,
     }
 
 
@@ -1588,7 +1713,184 @@ def oracle_sql() -> dict[str, str]:
                    ) AS json_arr
             FROM u
         """,
+        # pii_redact: same three regexes (Java regex on the Spark side, RE2
+        # in DuckDB — these patterns live in the common subset), same pass
+        # order; counts are taken on the raw synthesized text.
+        "pii_redact": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.example or 555-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || '-0199 from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.7 now' AS pii_text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(pii_text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+                     AS redacted,
+                   CAST(len(regexp_extract_all(pii_text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(pii_text,
+                     '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+                   CAST(len(regexp_extract_all(pii_text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
+                     AS n_ips
+            FROM t
+        """,
+        # gopher_quality: identical op order — per-(doc,term) frequencies,
+        # per-doc moments, ratios as x / CAST(n AS DOUBLE); the keep flag
+        # compares the unrounded doubles on both sides.
+        "gopher_quality": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_filter(regexp_split_to_array(
+                       lower(trim(text)), '\s+'), x -> x != '')) AS tok
+              FROM documents),
+            tf AS (SELECT doc_id, tok, COUNT(*) AS c
+                   FROM toks GROUP BY doc_id, tok),
+            s AS (SELECT doc_id,
+                         CAST(SUM(c) AS BIGINT) AS n_tokens,
+                         COUNT(*) AS n_types,
+                         MAX(c) AS top_cnt,
+                         CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+                           AS BIGINT) AS dup_tokens,
+                         CAST(SUM(c * length(tok)) AS BIGINT) AS sum_len
+                  FROM tf GROUP BY doc_id)
+            SELECT doc_id, n_tokens,
+                   ROUND(top_cnt / CAST(n_tokens AS DOUBLE), 4)
+                     AS top_token_frac,
+                   ROUND(dup_tokens / CAST(n_tokens AS DOUBLE), 4)
+                     AS dup_token_frac,
+                   ROUND(n_types / CAST(n_tokens AS DOUBLE), 4)
+                     AS type_token_ratio,
+                   ROUND(sum_len / CAST(n_tokens AS DOUBLE), 4)
+                     AS mean_word_len,
+                   (n_tokens >= 15
+                    AND top_cnt / CAST(n_tokens AS DOUBLE) <= 0.125
+                    AND n_types / CAST(n_tokens AS DOUBLE) >= 0.4
+                    AND sum_len / CAST(n_tokens AS DOUBLE) >= 3.0
+                    AND sum_len / CAST(n_tokens AS DOUBLE) <= 10.0)
+                     AS gopher_keep
+            FROM s
+        """,
+        "stratified_sample": """
+            WITH s AS (
+              SELECT lang, source,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS UBIGINT) % 100 < 20 AS kept
+              FROM documents)
+            SELECT lang, source, COUNT(*) AS n_total,
+                   CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_kept
+            FROM s GROUP BY lang, source
+        """,
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                 x -> x != '') AS w
+              FROM documents),
+            bench AS (
+              SELECT DISTINCT array_to_string(w[1:5], ' ') AS gram
+              FROM toks WHERE doc_id % 97 = 0),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, greatest(len(w) - 4, 1) + 1),
+                       i -> array_to_string(w[i:i+4], ' '))) AS gram
+              FROM toks),
+            hits AS (
+              SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_hits
+              FROM grams g JOIN bench USING (gram) GROUP BY g.doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   COALESCE(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
+        "pack_sequences": r"""
+            WITH RECURSIVE docs_wc AS (
+              SELECT source, doc_id,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       END AS wc,
+                     ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rn
+              FROM documents),
+            packed AS (
+              SELECT source, doc_id, wc, rn,
+                     CAST(0 AS BIGINT) AS bin_id, wc AS fill
+              FROM docs_wc WHERE rn = 1
+              UNION ALL
+              SELECT s.source, s.doc_id, s.wc, s.rn,
+                     CASE WHEN p.fill + s.wc <= 256 THEN p.bin_id
+                          ELSE p.bin_id + 1 END,
+                     CASE WHEN p.fill + s.wc <= 256 THEN p.fill + s.wc
+                          ELSE s.wc END
+              FROM docs_wc s JOIN packed p
+                ON s.source = p.source AND s.rn = p.rn + 1)
+            SELECT source, doc_id, CAST(bin_id AS BIGINT) AS bin_id
+            FROM packed
+        """,
+        "chunk_dedup": rf"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(
+                       trim('{_BOILER} ' || text), '\s+'),
+                       x -> x != '') AS w
+              FROM documents),
+            ch0 AS (
+              SELECT doc_id,
+                     unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)))
+                       AS pos,
+                     unnest(list_transform(
+                       range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                       k -> array_to_string(w[(k*10+1):(k*10+10)], ' ')))
+                       AS chunk
+              FROM toks),
+            ch AS (SELECT * FROM ch0 WHERE chunk != ''),
+            counts AS (SELECT chunk, COUNT(*) AS c FROM ch GROUP BY chunk),
+            kept AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     string_agg(ch.chunk, ' ' ORDER BY pos) AS clean_text
+              FROM ch JOIN counts USING (chunk)
+              WHERE c = 1 GROUP BY doc_id),
+            tot AS (SELECT doc_id, COUNT(*) AS n_chunks
+                    FROM ch GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   COALESCE(k.clean_text, '') AS clean_text
+            FROM documents d
+            LEFT JOIN tot t USING (doc_id)
+            LEFT JOIN kept k USING (doc_id)
+        """,
     }
+    # url_features reuses the synthesized order-URL corpus.
+    oracles["url_features"] = f"""
+        WITH u AS ({_ORDER_URLS_SQL}),
+        f AS (SELECT okey, raw_url,
+                lower(regexp_extract(raw_url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+                regexp_extract(raw_url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+                regexp_extract(raw_url, '\\?([^#]*)', 1) AS qs
+              FROM u)
+        SELECT okey, host,
+               regexp_extract(host, '\\.([a-z0-9-]+)$', 1) AS tld,
+               CAST(len(list_filter(str_split(path, '/'), s -> s != ''))
+                 AS BIGINT) AS path_depth,
+               CAST(CASE WHEN qs = '' THEN 0
+                         ELSE len(str_split(qs, '&')) END AS BIGINT)
+                 AS n_params,
+               contains(raw_url, '#') AS has_fragment
+        FROM f
+    """
     # corpus_filter: the end-to-end funnel composed from the already-
     # verified sub-oracles (lang gate + quality gate + drop non-minimum
     # members of each near-dup cluster).

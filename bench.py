@@ -63,6 +63,13 @@ BENCH_QUERIES = [
     "extract_rule_based",
     "extract_hybrid",
     "extract_custom",
+    "pii_redact",
+    "gopher_quality",
+    "url_features",
+    "decontaminate",
+    "stratified_sample",
+    "pack_sequences",
+    "chunk_dedup",
 ]
 
 

@@ -1,0 +1,336 @@
+"""Corpus-preparation operators for a web-scale training-data pipeline:
+PII redaction, Gopher-style repetition/quality signals, URL feature
+extraction, benchmark decontamination, deterministic stratified sampling,
+greedy sequence packing, and CCNet-style cross-document chunk dedup.
+
+Every operator is designed for the 100 TB shape first:
+
+* PII redaction, URL features, hash sampling — pure JVM column expressions
+  (whole-stage codegen; zero shuffles, zero Python).
+* Repetition stats — explode → two map-side-combined aggregations keyed by
+  (doc, term) then doc; no window, no driver state.
+* Decontamination — the benchmark n-gram set is small by construction
+  (eval suites are KBs, corpora are TBs), so it broadcasts; the corpus side
+  explodes sliding n-grams once and semi-joins.  At 10^10 docs, pre-hash
+  grams to int64 (`xxhash64`) so the broadcast set is 8 B/gram.
+* Sequence packing — inherently sequential *within* a pack stream, so the
+  stream key (here `source`; in production a shard id) partitions the work
+  and `applyInPandas` runs the greedy fold per group.  Parallelism = number
+  of pack streams, the same contract as every production packer.
+* Chunk dedup — the CCNet shape: explode fixed-stride token chunks,
+  count chunk occurrences corpus-wide (one shuffle, map-side combined),
+  join the counts back (second shuffle, AQE handles the boilerplate-chunk
+  skew), reassemble per doc (third shuffle).  At scale join on the chunk's
+  64-bit hash, not the string.
+
+Reference scope note: the reference engine (Daniel-Azil/crawler_engine)
+stops at extraction; these operators extend the engine into the
+training-data preparation tier the brief names (dedup/quality/sampling over
+crawled text).  No reference parity applies — the DuckDB oracles in
+`__spark_entry__.py` are the correctness authority.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# Tokenization shared by the corpus operators (whitespace tokens — chunk
+# reassembly must reproduce the original byte stream, so no normalization)
+# --------------------------------------------------------------------------
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace token array; empty array for blank text."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+# --------------------------------------------------------------------------
+# PII redaction (pure column expressions)
+# --------------------------------------------------------------------------
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii_col(text: Column) -> Column:
+    """Replace emails, NANP-style phone numbers, and IPv4 literals with
+    typed placeholders.  Order matters: emails first (their local parts can
+    contain digit runs), then phones, then IPs (phone redaction never
+    produces digit.digit sequences, so the passes are independent)."""
+    s = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    s = F.regexp_replace(s, _PHONE_RE, "<PHONE>")
+    return F.regexp_replace(s, _IPV4_RE, "<IP>")
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-row PII hit counts (same patterns as the redactor)."""
+    return {
+        "n_emails": F.regexp_count(text, F.lit(_EMAIL_RE)),
+        "n_phones": F.regexp_count(text, F.lit(_PHONE_RE)),
+        "n_ips": F.regexp_count(
+            F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), F.lit(_IPV4_RE)
+        ),
+    }
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition / quality signals
+# --------------------------------------------------------------------------
+
+
+def repetition_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document repetition signals (the Gopher repetition-filter family):
+    top-token fraction, duplicate-token fraction, type-token ratio, mean
+    word length — plus a composite keep flag.
+
+    Two aggregations, both map-side combined: (doc, term) term frequencies,
+    then per-doc moments.  The keep thresholds are compared on the exact
+    (unrounded) doubles; only the *reported* fractions are rounded.
+
+    Documents with zero tokens have no defined statistics and are absent
+    from the output (a pretraining filter drops them regardless)."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("tok"),
+    )
+    tf = toks.groupBy("_id", "tok").agg(F.count("*").alias("c"))
+    stats = tf.groupBy("_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"),
+        F.max("c").alias("top_cnt"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_tokens"),
+        F.sum(F.col("c") * F.length("tok")).alias("sum_len"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    top_frac = F.col("top_cnt") / nt
+    dup_frac = F.col("dup_tokens") / nt
+    ttr = F.col("n_types") / nt
+    mwl = F.col("sum_len") / nt
+    keep = (
+        (F.col("n_tokens") >= 15)
+        & (top_frac <= 0.125)
+        & (ttr >= 0.4)
+        & (mwl >= 3.0)
+        & (mwl <= 10.0)
+    )
+    return stats.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        F.round(top_frac, 4).alias("top_token_frac"),
+        F.round(dup_frac, 4).alias("dup_token_frac"),
+        F.round(ttr, 4).alias("type_token_ratio"),
+        F.round(mwl, 4).alias("mean_word_len"),
+        keep.alias("gopher_keep"),
+    )
+
+
+# --------------------------------------------------------------------------
+# URL features (crawl-side corpus filtering signals)
+# --------------------------------------------------------------------------
+
+
+def url_feature_cols(url: Column) -> dict[str, Column]:
+    """Typed URL features for corpus filtering: host, tld, path depth,
+    query-parameter count, fragment flag.  Pure column expressions."""
+    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+    qs = F.regexp_extract(url, r"\?([^#]*)", 1)
+    n_params = F.when(qs == "", F.lit(0)).otherwise(F.size(F.split(qs, "&")))
+    return {
+        "host": host,
+        "tld": F.regexp_extract(host, r"\.([a-z0-9-]+)$", 1),
+        "path_depth": depth,
+        "n_params": n_params,
+        "has_fragment": url.contains("#"),
+    }
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap join)
+# --------------------------------------------------------------------------
+
+
+def decontaminate(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    bench_grams: DataFrame,
+    n: int = 5,
+) -> DataFrame:
+    """Flag documents sharing any sliding word n-gram with a benchmark set.
+
+    ``bench_grams`` must have a single ``gram`` column (space-joined word
+    n-grams of the eval suite) — small by construction, so it broadcasts.
+    The corpus side explodes all stride-1 n-grams (the honest
+    decontamination cost: ~n_tokens rows per doc) and inner-joins; docs
+    with no hit come back via the final left join with n_hits = 0."""
+    toks = ws_tokens(F.col(text_col))
+    grams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ).alias("gram"),
+    )
+    hits = (
+        grams.join(F.broadcast(bench_grams.select("gram").distinct()), "gram")
+        .groupBy("_id")
+        .agg(F.countDistinct("gram").alias("n_hits"))
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(hits.withColumnRenamed("_id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def leading_ngram_col(text: Column, n: int = 5) -> Column:
+    """First-n-words gram (used to synthesize benchmark sets in tests)."""
+    return F.concat_ws(" ", F.slice(ws_tokens(text), 1, n))
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling
+# --------------------------------------------------------------------------
+
+
+def hash_keep_col(key: Column, pct: int) -> Column:
+    """Deterministic, engine-portable Bernoulli sample: keep iff
+    md5(key)'s leading 32 bits mod 100 < pct.  Key-based (not row-position)
+    so the decision is stable under repartitioning and re-runs, and the
+    same doc is kept/dropped in every derived dataset."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(100)) < pct
+
+
+def stratified_sample_counts(
+    docs: DataFrame, id_col: str, strata: list[str], pct: int
+) -> DataFrame:
+    """Per-stratum kept/total counts under the hash sample — the audit view
+    a sampling pipeline ships with its output."""
+    kept = hash_keep_col(F.col(id_col), pct)
+    return docs.groupBy(*strata).agg(
+        F.count("*").alias("n_total"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Greedy sequence packing (per-stream stateful fold)
+# --------------------------------------------------------------------------
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str,
+    wc_col: str,
+    stream_col: str,
+    cap: int,
+) -> DataFrame:
+    """Greedy sequential packing: within each pack stream (ordered by
+    ``id_col``) documents accumulate into bins of at most ``cap`` tokens; a
+    document that would overflow opens the next bin (documents are never
+    split; an oversized document gets a bin alone).
+
+    Packing is order-dependent state, so it runs as an ``applyInPandas``
+    fold per stream — the standard production contract where parallelism =
+    number of pack streams (shards), not rows."""
+    schema = f"{stream_col} string, {id_col} long, bin_id long"
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        bins = []
+        bin_id, fill = -1, cap + 1  # force a new bin on the first row
+        for wc in pdf[wc_col].astype("int64"):
+            if fill + wc <= cap:
+                fill += wc
+            else:
+                bin_id += 1
+                fill = wc
+            bins.append(bin_id)
+        return pd.DataFrame(
+            {
+                stream_col: pdf[stream_col].values,
+                id_col: pdf[id_col].values,
+                "bin_id": bins,
+            }
+        )
+
+    return (
+        docs.select(stream_col, id_col, wc_col)
+        .groupBy(stream_col)
+        .applyInPandas(_pack, schema=schema)
+    )
+
+
+# --------------------------------------------------------------------------
+# CCNet-style cross-document chunk dedup
+# --------------------------------------------------------------------------
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Remove every token chunk (fixed stride of ``chunk_tokens`` words)
+    that occurs more than once in the corpus — the line-level dedup of
+    CCNet applied to word chunks (boilerplate headers/footers vanish from
+    every document; unique prose survives; exact-duplicate documents are
+    fully emptied, subsuming doc-level dedup).
+
+    Returns one row per input doc: (id, n_chunks, n_kept, clean_text) with
+    clean_text = the surviving chunks in original order ('' if none)."""
+    toks = ws_tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunked = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda k: F.concat_ws(
+                    " ", F.slice(toks, k * chunk_tokens + 1, chunk_tokens)
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).where(F.col("chunk") != "")
+    counts = chunked.groupBy("chunk").agg(F.count("*").alias("_c"))
+    kept = (
+        chunked.join(counts, "chunk")
+        .where(F.col("_c") == 1)
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    totals = chunked.groupBy("_id").agg(F.count("*").alias("n_chunks"))
+    base = docs.select(F.col(id_col).alias("_id"))
+    return (
+        base.join(totals, "_id", "left")
+        .join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1,0 +1,232 @@
+"""Edge-case tests for the corpus-preparation operators
+(operators/corpusops.py).  Engine-vs-oracle parity over the real tables is
+locked by tests/test_entry_oracle.py; these tests pin the semantics the
+small corpora can't exercise: oversized packing inputs, fully-duplicated
+documents, repartition-stable sampling, mid-text contamination."""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from crawler_engine_spark.operators import corpusops
+
+
+def _docs(spark, rows, schema="doc_id long, text string"):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+
+def test_pii_redaction_patterns(spark):
+    df = _docs(
+        spark,
+        [
+            (0, "mail a.b+c@ex-ample.org then 555-123-4567 then 10.0.0.1 end"),
+            (1, "no pii here at all"),
+            (2, "a@b.io x@y.co 1.2.3.4 5.6.7.8"),
+        ],
+    )
+    counts = corpusops.pii_counts(F.col("text"))
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            corpusops.redact_pii_col(F.col("text")).alias("red"),
+            counts["n_emails"].alias("e"),
+            counts["n_phones"].alias("p"),
+            counts["n_ips"].alias("i"),
+        ).collect()
+    }
+    assert out[0]["red"] == "mail <EMAIL> then <PHONE> then <IP> end"
+    assert (out[0]["e"], out[0]["p"], out[0]["i"]) == (1, 1, 1)
+    assert out[1]["red"] == "no pii here at all"
+    assert (out[1]["e"], out[1]["p"], out[1]["i"]) == (0, 0, 0)
+    assert out[2]["red"] == "<EMAIL> <EMAIL> <IP> <IP>"
+    assert (out[2]["e"], out[2]["p"], out[2]["i"]) == (2, 0, 2)
+
+
+# --------------------------------------------------------------------------
+# Repetition stats
+# --------------------------------------------------------------------------
+
+
+def test_repetition_stats_exact_small_doc(spark):
+    # "a a a b" → n=4, top=3/4, dup=3/4, ttr=2/4, mwl=1.0
+    df = _docs(spark, [(0, "a a a b")])
+    r = corpusops.repetition_stats(df, "text", "doc_id").collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["top_token_frac"] == 0.75
+    assert r["dup_token_frac"] == 0.75
+    assert r["type_token_ratio"] == 0.5
+    assert r["mean_word_len"] == 1.0
+    assert r["gopher_keep"] is False  # n_tokens < 15
+
+
+def test_repetition_stats_drops_blank_docs(spark):
+    df = _docs(spark, [(0, "   "), (1, "one two three")])
+    got = corpusops.repetition_stats(df, "text", "doc_id").collect()
+    assert [r["doc_id"] for r in got] == [1]
+
+
+# --------------------------------------------------------------------------
+# Decontamination
+# --------------------------------------------------------------------------
+
+
+def test_decontaminate_flags_midtext_overlap(spark):
+    bench = spark.createDataFrame([("q r s t u",)], "gram string")
+    df = _docs(
+        spark,
+        [
+            (0, "x y q r s t u z"),  # gram appears mid-text
+            (1, "totally unrelated words only here"),
+            (2, "q r s t u"),  # exact gram, nothing else
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in corpusops.decontaminate(df, "text", "doc_id", bench, n=5).collect()
+    }
+    assert got == {0: (1, True), 1: (0, False), 2: (1, True)}
+
+
+# --------------------------------------------------------------------------
+# Hash sampling
+# --------------------------------------------------------------------------
+
+
+def test_hash_sample_stable_under_repartition(spark):
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    kept1 = {
+        r["doc_id"]
+        for r in df.where(corpusops.hash_keep_col(F.col("doc_id"), 20)).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in df.repartition(13)
+        .where(corpusops.hash_keep_col(F.col("doc_id"), 20))
+        .collect()
+    }
+    assert kept1 == kept2
+    # rate lands near 20% (md5 is uniform; 500 keys → loose band)
+    assert 0.12 <= len(kept1) / 500 <= 0.28
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+
+def test_pack_sequences_greedy_and_oversized(spark):
+    rows = [
+        ("s", 0, 100),
+        ("s", 1, 100),
+        ("s", 2, 100),  # overflows bin 0 (200+100>256) → bin 1
+        ("s", 3, 999),  # oversized: gets bin 2 alone
+        ("s", 4, 1),  # 999+1>256 → bin 3
+        ("t", 5, 10),  # separate stream restarts at bin 0
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, wc long")
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in corpusops.pack_sequences(df, "doc_id", "wc", "source", cap=256).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 0}
+
+
+def test_pack_sequences_matches_pandas_fold(spark):
+    # property-ish check on a pseudorandom-but-deterministic workload
+    rows = [("s" + str(i % 3), i, (i * 37) % 200 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, wc long")
+    got = {
+        (r["source"], r["doc_id"]): r["bin_id"]
+        for r in corpusops.pack_sequences(df, "doc_id", "wc", "source", cap=256).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "wc"])
+    want = {}
+    for src, g in pdf.groupby("source"):
+        fill, b = 10**9, -1
+        for _, row in g.sort_values("doc_id").iterrows():
+            if fill + row.wc <= 256:
+                fill += row.wc
+            else:
+                b += 1
+                fill = row.wc
+            want[(src, row.doc_id)] = b
+    assert got == want
+
+
+# --------------------------------------------------------------------------
+# Chunk dedup
+# --------------------------------------------------------------------------
+
+
+def test_chunk_dedup_strips_shared_header_keeps_unique(spark):
+    header = "h1 h2 h3"
+    df = _docs(
+        spark,
+        [
+            (0, header + " unique zero words"),
+            (1, header + " other one words"),
+        ],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpusops.chunk_dedup(df, "text", "doc_id", chunk_tokens=3).collect()
+    }
+    assert got[0]["clean_text"] == "unique zero words"
+    assert got[1]["clean_text"] == "other one words"
+    assert got[0]["n_chunks"] == 2 and got[0]["n_kept"] == 1
+
+
+def test_chunk_dedup_empties_exact_duplicate_docs(spark):
+    df = _docs(spark, [(0, "a b c d e f"), (1, "a b c d e f"), (2, "x y z")])
+    got = {
+        r["doc_id"]: r
+        for r in corpusops.chunk_dedup(df, "text", "doc_id", chunk_tokens=3).collect()
+    }
+    assert got[0]["clean_text"] == "" and got[0]["n_kept"] == 0
+    assert got[1]["clean_text"] == "" and got[1]["n_kept"] == 0
+    assert got[2]["clean_text"] == "x y z" and got[2]["n_kept"] == 1
+
+
+def test_chunk_dedup_partial_tail_chunk(spark):
+    df = _docs(spark, [(0, "a b c d"), (1, "")])
+    got = {
+        r["doc_id"]: r
+        for r in corpusops.chunk_dedup(df, "text", "doc_id", chunk_tokens=3).collect()
+    }
+    assert got[0]["n_chunks"] == 2  # "a b c" + partial "d"
+    assert got[0]["clean_text"] == "a b c d"
+    assert got[1]["n_chunks"] == 0 and got[1]["clean_text"] == ""
+
+
+# --------------------------------------------------------------------------
+# URL features
+# --------------------------------------------------------------------------
+
+
+def test_url_feature_cols(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://Sub.Example.COM/a/b/c?x=1&y=2#frag"),
+            (1, "http://example.org"),
+        ],
+        "i long, url string",
+    )
+    f = corpusops.url_feature_cols(F.col("url"))
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i", f["host"].alias("h"), f["tld"].alias("t"),
+            f["path_depth"].alias("d"), f["n_params"].alias("p"),
+            f["has_fragment"].alias("fr"),
+        ).collect()
+    }
+    assert got[0]["h"] == "sub.example.com"
+    assert got[0]["t"] == "com"
+    assert (got[0]["d"], got[0]["p"], got[0]["fr"]) == (3, 2, True)
+    assert got[1]["h"] == "example.org"
+    assert (got[1]["d"], got[1]["p"], got[1]["fr"]) == (0, 0, False)
