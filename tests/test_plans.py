@@ -246,3 +246,39 @@ def test_windowed_operator_plans(spark):
     rng = spark.createDataFrame([(10, 0.0, 10.0)], "rid long, lo double, hi double")
     p = _plan(range_join(pts, rng, "x", "lo", "hi", 5.0))
     assert "NestedLoop" not in p
+
+
+def test_corpusops_plans(spark):
+    """pii_redact/url_features: pure projections (zero exchanges);
+    decontaminate: bench side broadcasts (no shuffle of the corpus grams
+    for the join); pack_sequences: exactly the one stream-key shuffle into
+    the Arrow-batched fold; chunk_dedup: hash exchanges only, never a
+    single-partition collapse."""
+    from crawler_engine_spark.operators import corpusops
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s")], "doc_id long, text string, source string"
+    )
+
+    p = _plan(docs.select(corpusops.redact_pii_col(F.col("text")).alias("r")))
+    assert "Exchange" not in p and "Python" not in p
+
+    f = corpusops.url_feature_cols(F.col("text"))
+    p = _plan(docs.select(*[c.alias(k) for k, c in f.items()]))
+    assert "Exchange" not in p and "Python" not in p
+
+    bench = spark.createDataFrame([("a b",)], "gram string")
+    p = _plan(corpusops.decontaminate(docs, "text", "doc_id", bench, n=2))
+    assert "BroadcastHashJoin" in p
+
+    p = _plan(
+        corpusops.pack_sequences(
+            docs.select("source", "doc_id", F.lit(1).alias("wc")),
+            "doc_id", "wc", "source", 256,
+        )
+    )
+    assert "FlatMapGroupsInPandas" in p
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p
+
+    p = _plan(corpusops.chunk_dedup(docs, "text", "doc_id"))
+    assert "SinglePartition" not in p and "NestedLoop" not in p
