@@ -894,6 +894,48 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusops.pack_sequences(docs, "doc_id", "wc", "source", cap=256)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot (incremental) dedup: new docs (odd ids) that are
+    neither exact nor near (J≥0.5) duplicates of the existing snapshot
+    (even ids).  64 perms / 32 bands — the banding whose completeness at
+    J≥0.5 is locked by the LSH-recall tests, so the bucketed cross join
+    must equal the oracle's exhaustive NOT EXISTS."""
+    d = _t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 2 == 1)
+    out = dedup.incremental_new_docs(
+        new, old, "text", "doc_id", threshold=0.5, num_perm=64, bands=32
+    )
+    return out.select("doc_id")
+
+
+def q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-reputation rollup — the corpus-quality signal a crawl scheduler
+    feeds back into frontier prioritization: per-host doc count + mean
+    quality score (decimal-stable mean of the rounded per-doc scores)."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+        F.lit(".example/d/"), F.col("doc_id").cast("string"),
+    )
+    host = corpusops.url_feature_cols(url)["host"]
+    q = F.round(textstats.quality_score_col(F.col("text")), 4)
+    return (
+        d.select(host.alias("host"), q.alias("q"))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_quality"),
+        )
+    )
+
+
 _BOILER = "shared footer boilerplate all rights reserved contact legal team today"
 
 
@@ -1058,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "pack_sequences": q_pack_sequences,
         "chunk_dedup": q_chunk_dedup,
+        "incremental_dedup": q_incremental_dedup,
+        "host_reputation": q_host_reputation,
     }
 
 
@@ -1871,6 +1915,42 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN kept k USING (doc_id)
         """,
     }
+    # incremental_dedup: exhaustive oracle — survivors of the digest
+    # anti-join with NO old-side doc at exact Jaccard ≥ 0.5 (same shingle
+    # construction as the minhash oracles; empty-union pairs score 0.0 on
+    # both sides).
+    oracles["incremental_dedup"] = r"""
+        WITH toks AS (
+          SELECT doc_id, text, CAST(doc_id % 2 AS INTEGER) AS side,
+                 list_filter(regexp_split_to_array(lower(text),
+                   '[^0-9A-Za-z_]+'), t -> t != '') AS w
+          FROM documents),
+        sh AS (
+          SELECT doc_id, side, text,
+                 list_distinct(CASE WHEN len(w) >= 3
+                   THEN list_transform(range(1, len(w) - 1),
+                                       i -> array_to_string(w[i:i+2], ' '))
+                   ELSE [array_to_string(w, ' ')] END) AS s
+          FROM toks),
+        surv AS (
+          SELECT * FROM sh WHERE side = 1
+            AND md5(text) NOT IN (SELECT md5(text) FROM sh WHERE side = 0))
+        SELECT n.doc_id FROM surv n
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sh o WHERE o.side = 0
+            AND CAST(len(list_intersect(n.s, o.s)) AS DOUBLE)
+                / greatest(len(list_distinct(list_concat(n.s, o.s))), 1)
+                >= 0.5)
+    """
+    # host_reputation composes the verified quality_score oracle.
+    oracles["host_reputation"] = f"""
+        WITH q AS ({oracles["quality_score"]})
+        SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+               COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(CAST(quality AS DECIMAL(38,12))) AS DOUBLE)
+                     / COUNT(*), 4) AS avg_quality
+        FROM q GROUP BY 1
+    """
     # url_features reuses the synthesized order-URL corpus.
     oracles["url_features"] = f"""
         WITH u AS ({_ORDER_URLS_SQL}),

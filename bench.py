@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "stratified_sample",
     "pack_sequences",
     "chunk_dedup",
+    "incremental_dedup",
+    "host_reputation",
 ]
 
 

@@ -348,6 +348,115 @@ def minhash_dedup(
 
 
 # --------------------------------------------------------------------------
+# Cross-snapshot (incremental) dedup: new batch vs existing corpus
+# --------------------------------------------------------------------------
+
+
+def cross_snapshot_candidates(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs BETWEEN two snapshots — never new×new or
+    old×old: each side is banded independently and the join is a plain
+    (band, bucket) equi-join across sides.  This is the incremental-ingest
+    shape: the old side's banded projection is a persistable index (write
+    it once per snapshot, reuse for every new batch), so the marginal cost
+    of a new batch is its own signatures + one shuffle join.
+
+    Bucket caps apply per side (a degenerate bucket is degenerate on its
+    own side already); returns (id_new, id_old), distinct."""
+    nb = minhash_banded(new_df, text_col, id_col, num_perm, bands, shingle_n)
+    ob = minhash_banded(old_df, text_col, id_col, num_perm, bands, shingle_n)
+    nb = _cap_buckets(nb, max_bucket_size).localCheckpoint(eager=False)
+    ob = _cap_buckets(ob, max_bucket_size).localCheckpoint(eager=False)
+    return (
+        nb.alias("n")
+        .join(
+            ob.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(F.col("n._id").alias("id_new"), F.col("o._id").alias("id_old"))
+        .distinct()
+    )
+
+
+def verify_jaccard_cross(
+    pairs: DataFrame,
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard over cross-snapshot candidate pairs
+    (id_new, id_old); keeps pairs ≥ threshold.  Same Arrow-batched kernel
+    as verify_jaccard, with texts attached from their own sides."""
+    pairs = pairs.localCheckpoint(eager=True)
+    a = new_df.select(F.col(id_col).alias("id_new"), F.col(text_col).alias("text_a"))
+    b = old_df.select(F.col(id_col).alias("id_old"), F.col(text_col).alias("text_b"))
+    joined = pairs.join(a, "id_new").join(b, "id_old")
+
+    @pandas_udf(T.DoubleType())
+    def exact_jaccard(it: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        for pdf in it:
+            out = []
+            for ta, tb in zip(pdf["text_a"], pdf["text_b"]):
+                sa, sb = set(_shingle_set(ta, shingle_n)), set(_shingle_set(tb, shingle_n))
+                union = len(sa | sb)
+                out.append(len(sa & sb) / union if union else 0.0)
+            yield pd.Series(out)
+
+    jac = exact_jaccard(F.struct("text_a", "text_b"))
+    return (
+        joined.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
+    )
+
+
+def incremental_new_docs(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """The snapshot-over-snapshot ingest filter: rows of ``new_df`` that
+    are neither exact duplicates (same md5 digest) nor near duplicates
+    (exact Jaccard ≥ threshold, LSH-bucketed) of ANY ``old_df`` row.
+
+    Two stages, cheapest first: the exact anti-join on the digest removes
+    byte-identical re-crawls before any signature work; only the survivors
+    pay for MinHash.  Within-new duplicates are intentionally kept — run
+    minhash_dedup on the result if the new batch needs internal dedup too
+    (keeping the stages separate lets the caller persist the old-side LSH
+    index across batches)."""
+    new_d = new_df.withColumn("_digest", F.md5(F.col(text_col)))
+    old_digests = old_df.select(F.md5(F.col(text_col)).alias("_digest")).distinct()
+    survivors = new_d.join(old_digests, "_digest", "left_anti").drop("_digest")
+    cand = cross_snapshot_candidates(
+        survivors, old_df, text_col, id_col, num_perm, bands,
+        max_bucket_size=max_bucket_size,
+    )
+    near = verify_jaccard_cross(
+        cand, survivors, old_df, text_col, id_col, threshold
+    )
+    to_drop = near.select(F.col("id_new").alias(id_col)).distinct()
+    return survivors.join(to_drop, on=id_col, how="left_anti")
+
+
+# --------------------------------------------------------------------------
 # SimHash (vectorized numpy kernel)
 # --------------------------------------------------------------------------
 

@@ -51,6 +51,49 @@ def stream_extract(
     return writer.start()
 
 
+def stream_corpus_filter(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    min_quality: float = 0.5,
+    langs: tuple = ("en",),
+    available_now: bool = True,
+):
+    """Continuous corpus preparation: new page files → extraction →
+    language + quality gates → PII scrub → parquet sink.
+
+    Every gate is a pure column expression (textstats/corpusops), so the
+    streaming plan IS the batch plan behind a file source — no stateful
+    operators, exactly-once via the file-sink commit log, and identical
+    output to running the batch pipeline over the same files
+    (test_stream_corpus_filter_matches_batch)."""
+    from ..operators import corpusops
+    from ..operators.textstats import lang_id_col, quality_score_col
+
+    pages = read_pages_stream(spark, pages_dir)
+    res = extract_pages(pages, mode="structured")
+    filtered = (
+        res.withColumn("lang_pred", lang_id_col(F.col("content")))
+        .withColumn("quality", F.round(quality_score_col(F.col("content")), 4))
+        .where(
+            F.col("lang_pred").isin(list(langs))
+            & (F.col("quality") >= min_quality)
+        )
+        .withColumn("content", corpusops.redact_pii_col(F.col("content")))
+        .select("url", "content", "lang_pred", "quality")
+    )
+    writer = (
+        filtered.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 CANDIDATES_SCHEMA = "host string, canonical_url string, url_hash long"
 
 

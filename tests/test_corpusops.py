@@ -230,3 +230,89 @@ def test_url_feature_cols(spark):
     assert (got[0]["d"], got[0]["p"], got[0]["fr"]) == (3, 2, True)
     assert got[1]["h"] == "example.org"
     assert (got[1]["d"], got[1]["p"], got[1]["fr"]) == (0, 0, False)
+
+
+# --------------------------------------------------------------------------
+# Cross-snapshot (incremental) dedup
+# --------------------------------------------------------------------------
+
+
+def test_incremental_new_docs_semantics(spark):
+    from crawler_engine_spark.operators import dedup
+
+    old = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+            (3, "one two three four five six seven eight nine extra"),  # near dup
+            (5, "completely different words appear in this document"),  # unique
+            (7, "completely different words appear in this document"),  # new-internal dup: kept
+        ],
+        "doc_id long, text string",
+    )
+    out = dedup.incremental_new_docs(
+        new, old, "text", "doc_id", threshold=0.5, num_perm=64, bands=32
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == [5, 7]
+
+
+def test_cross_snapshot_candidates_never_pair_within_side(spark):
+    from crawler_engine_spark.operators import dedup
+
+    # two identical docs on the same side must NOT pair with each other
+    old = spark.createDataFrame([(0, "x y z w v u t s")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(1, "x y z w v u t s"), (3, "x y z w v u t s")], "doc_id long, text string"
+    )
+    pairs = dedup.cross_snapshot_candidates(new, old, "text", "doc_id").collect()
+    assert sorted((r["id_new"], r["id_old"]) for r in pairs) == [(1, 0), (3, 0)]
+
+
+# --------------------------------------------------------------------------
+# Streaming corpus filter
+# --------------------------------------------------------------------------
+
+
+def test_stream_corpus_filter_matches_batch(spark, tmp_path):
+    from crawler_engine_spark.data.gen import gen_pages_df
+    from crawler_engine_spark.operators import corpusops
+    from crawler_engine_spark.operators.extraction import extract_pages
+    from crawler_engine_spark.operators.textstats import (
+        lang_id_col,
+        quality_score_col,
+    )
+    from crawler_engine_spark.streaming.pipeline import stream_corpus_filter
+
+    pages_dir = str(tmp_path / "pages")
+    gen_pages_df(spark, 40, partitions=2).write.parquet(pages_dir)
+
+    q = stream_corpus_filter(
+        spark,
+        pages_dir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        min_quality=0.3,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["url"], r["lang_pred"], r["quality"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    res = extract_pages(spark.read.parquet(pages_dir), mode="structured")
+    want_df = (
+        res.withColumn("lang_pred", lang_id_col(F.col("content")))
+        .withColumn("quality", F.round(quality_score_col(F.col("content")), 4))
+        .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.3))
+        .withColumn("content", corpusops.redact_pii_col(F.col("content")))
+    )
+    want = {
+        (r["url"], r["lang_pred"], r["quality"]) for r in want_df.collect()
+    }
+    assert got == want and len(got) > 0
