@@ -882,6 +882,16 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: at most 3 docs per (lang, source) stratum,
+    chosen by deterministic hash rank (window top-k per stratum)."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    out = corpusops.capped_sample(d, "doc_id", ["lang", "source"], cap=3)
+    return out.select("doc_id", "lang", "source")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing into 256-token bins per source stream — the
     stateful per-group fold (applyInPandas); oracle = recursive CTE."""
@@ -1102,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": q_chunk_dedup,
         "incremental_dedup": q_incremental_dedup,
         "host_reputation": q_host_reputation,
+        "capped_sample": q_capped_sample,
     }
 
 
@@ -1915,6 +1926,19 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN kept k USING (doc_id)
         """,
     }
+    # capped_sample: same hash-rank window (md5 15-hex-digit prefix as the
+    # sort key, id tiebreak).
+    oracles["capped_sample"] = """
+        SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS UBIGINT) ASC, doc_id ASC)
+                   AS rk
+          FROM documents)
+        WHERE rk <= 3
+    """
     # incremental_dedup: exhaustive oracle — survivors of the digest
     # anti-join with NO old-side doc at exact Jaccard ≥ 0.5 (same shingle
     # construction as the minhash oracles; empty-union pairs score 0.0 on

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "chunk_dedup",
     "incremental_dedup",
     "host_reputation",
+    "capped_sample",
 ]
 
 

@@ -153,6 +153,73 @@ def cmd_expire(args) -> None:
     spark.stop()
 
 
+def cmd_corpus(args) -> None:
+    """Corpus-prep funnel over a parquet of documents: the --ops list runs
+    in the order given, each stage reporting its surviving row count —
+    the training-data preparation tier as a one-command pipeline."""
+    from pyspark.sql import functions as F
+
+    from crawler_engine_spark.operators import corpusops, dedup
+    from crawler_engine_spark.operators.textstats import (
+        lang_id_col,
+        quality_score_col,
+    )
+
+    spark = get_spark("crawl-corpus")
+    df = spark.read.parquet(args.docs)
+    id_col, text_col = args.id_col, args.text_col
+    stats = {"input": df.count()}
+    for op in args.ops.split(","):
+        op = op.strip()
+        if op == "lang":
+            df = df.withColumn("lang_pred", lang_id_col(F.col(text_col))).where(
+                F.col("lang_pred").isin(args.langs.split(","))
+            )
+        elif op == "quality":
+            df = df.withColumn(
+                "quality", F.round(quality_score_col(F.col(text_col)), 4)
+            ).where(F.col("quality") >= args.min_quality)
+        elif op == "gopher":
+            keep = (
+                corpusops.repetition_stats(df, text_col, id_col)
+                .where("gopher_keep")
+                .select(F.col(id_col))
+            )
+            df = df.join(keep, id_col, "left_semi")
+        elif op == "pii":
+            df = df.withColumn(text_col, corpusops.redact_pii_col(F.col(text_col)))
+        elif op == "exact_dedup":
+            # exact_dedup returns (id, dup_count) — semi-join to keep rows
+            keep = dedup.exact_dedup(df, text_col, id_col).select(F.col(id_col))
+            df = df.join(keep, id_col, "left_semi")
+        elif op == "near_dedup":
+            df = dedup.minhash_dedup(
+                df, text_col, id_col, threshold=args.jaccard, method="cc"
+            )
+        elif op == "chunk_dedup":
+            cleaned = corpusops.chunk_dedup(df, text_col, id_col).select(
+                F.col(id_col), F.col("clean_text")
+            )
+            df = (
+                df.drop(text_col)
+                .join(cleaned, id_col)
+                .withColumnRenamed("clean_text", text_col)
+                .where(F.trim(F.col(text_col)) != "")
+            )
+        elif op == "sample":
+            df = df.where(corpusops.hash_keep_col(F.col(id_col), args.sample_pct))
+        elif op == "cap":
+            df = corpusops.capped_sample(
+                df, id_col, args.strata.split(","), args.cap
+            )
+        else:
+            raise SystemExit(f"unknown corpus op: {op}")
+        stats[op] = df.count()
+    df.write.mode("overwrite").parquet(args.out)
+    print(json.dumps({"command": "corpus", "stats": stats, "out": args.out}))
+    spark.stop()
+
+
 def cmd_interactive(args) -> None:
     """Interactive extraction loop (reference cli.py:234-317): prompt for
     URL / query / mode, extract from the page store, print a summary.
@@ -320,6 +387,24 @@ def main() -> None:
                     help=".txt (one url/line) or parquet with canonical_url")
     px.add_argument("--no-requeue", action="store_true")
     px.set_defaults(fn=cmd_expire)
+
+    pco = sub.add_parser(
+        "corpus", help="training-data corpus-prep funnel over a docs parquet"
+    )
+    pco.add_argument("--docs", required=True, help="parquet with id+text columns")
+    pco.add_argument("--out", required=True)
+    pco.add_argument("--ops", default="lang,quality,exact_dedup,near_dedup,pii",
+                     help="comma list, applied in order: lang quality gopher "
+                          "pii exact_dedup near_dedup chunk_dedup sample cap")
+    pco.add_argument("--id-col", default="doc_id")
+    pco.add_argument("--text-col", default="text")
+    pco.add_argument("--langs", default="en")
+    pco.add_argument("--min-quality", type=float, default=0.5)
+    pco.add_argument("--jaccard", type=float, default=0.8)
+    pco.add_argument("--sample-pct", type=int, default=10)
+    pco.add_argument("--strata", default="lang")
+    pco.add_argument("--cap", type=int, default=1000)
+    pco.set_defaults(fn=cmd_corpus)
 
     pint = sub.add_parser("interactive", help="interactive extraction loop")
     pint.add_argument("--pages", required=True)

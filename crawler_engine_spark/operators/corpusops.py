@@ -226,6 +226,33 @@ def stratified_sample_counts(
     )
 
 
+def capped_sample(
+    docs: DataFrame, id_col: str, strata: list[str], cap: int
+) -> DataFrame:
+    """Corpus rebalancing: keep at most ``cap`` rows per stratum (domain,
+    language, source...), chosen deterministically — rank rows inside each
+    stratum by md5(id) (id as tiebreak) and keep rank ≤ cap.  The hash
+    order makes the selection an unbiased, rerun-stable sample rather than
+    'whatever sorted first'.
+
+    One window over the stratum key; a hot stratum concentrates in one
+    reducer, but only rows OF that stratum — at 10^10 rows cap the damage
+    by pre-filtering with an approximate per-stratum count and sampling the
+    giants with hash_keep_col first (two cheap aggregations) before the
+    exact ranking."""
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .drop("_rk")
+    )
+
+
 # --------------------------------------------------------------------------
 # Greedy sequence packing (per-stream stateful fold)
 # --------------------------------------------------------------------------

@@ -316,3 +316,64 @@ def test_stream_corpus_filter_matches_batch(spark, tmp_path):
         (r["url"], r["lang_pred"], r["quality"]) for r in want_df.collect()
     }
     assert got == want and len(got) > 0
+
+
+# --------------------------------------------------------------------------
+# Capped (per-stratum) sampling
+# --------------------------------------------------------------------------
+
+
+def test_capped_sample_binds_and_is_stable(spark):
+    rows = [(i, "s" + str(i % 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    kept1 = sorted(
+        r["doc_id"]
+        for r in corpusops.capped_sample(df, "doc_id", ["stratum"], cap=5).collect()
+    )
+    assert len(kept1) == 10  # 2 strata × 5
+    kept2 = sorted(
+        r["doc_id"]
+        for r in corpusops.capped_sample(
+            df.repartition(7), "doc_id", ["stratum"], cap=5
+        ).collect()
+    )
+    assert kept1 == kept2  # hash-rank selection is partitioning-invariant
+    # small stratum passes through untouched
+    small = spark.createDataFrame([(0, "x"), (1, "x")], "doc_id long, stratum string")
+    assert corpusops.capped_sample(small, "doc_id", ["stratum"], cap=5).count() == 2
+
+
+# --------------------------------------------------------------------------
+# CLI corpus funnel
+# --------------------------------------------------------------------------
+
+
+def test_cli_corpus_funnel(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    docs = str(tmp_path / "docs")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs)
+    out = str(tmp_path / "clean")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "crawl.py"), "corpus",
+         "--docs", docs, "--out", out,
+         "--ops", "lang,quality,exact_dedup,pii,cap",
+         "--strata", "lang,source", "--cap", "3", "--min-quality", "0.3"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rec = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    s = rec["stats"]
+    # funnel is monotone non-increasing and every stage reported
+    order = ["input", "lang", "quality", "exact_dedup", "pii", "cap"]
+    assert list(s) == order
+    vals = [s[k] for k in order]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+    assert vals[-1] > 0
+    got = spark.read.parquet(out)
+    assert got.count() == vals[-1]
+    assert "quality" in got.columns and "lang_pred" in got.columns
