@@ -79,6 +79,42 @@ def apply_robots(
     return out.drop("tokens") if host_tokens is not None else out
 
 
+def apply_host_reputation(
+    frontier: DataFrame,
+    reputation: DataFrame,
+    min_factor: float = 0.5,
+    max_factor: float = 2.0,
+    default_quality: float = 0.5,
+) -> DataFrame:
+    """Scale each host's politeness ``host_budget`` by its corpus-quality
+    reputation — the feedback loop from the corpus tier back into crawl
+    scheduling (hosts whose extracted documents score well earn a larger
+    per-round budget; low-quality hosts are throttled, never starved).
+
+    ``reputation`` columns: host, avg_quality in [0,1] (the
+    host_reputation rollup).  factor interpolates linearly from
+    ``min_factor`` (quality 0) to ``max_factor`` (quality 1); hosts absent
+    from the table use ``default_quality``.  budget' = max(1,
+    floor(budget × factor)) — the ≥1 floor preserves liveness, and the
+    reputation table is host-cardinality (small), so this is a broadcast
+    join on top of the existing budget column, shuffle-free."""
+    rep = reputation.select(
+        "host", F.col("avg_quality").cast("double").alias("_q")
+    )
+    q = F.coalesce(F.col("_q"), F.lit(float(default_quality)))
+    factor = F.lit(min_factor) + (F.lit(max_factor) - F.lit(min_factor)) * q
+    return (
+        frontier.join(F.broadcast(rep), on="host", how="left")
+        .withColumn(
+            "host_budget",
+            F.greatest(
+                F.lit(1), F.floor(F.col("host_budget") * factor)
+            ).cast("int"),
+        )
+        .drop("_q")
+    )
+
+
 def select_batch(
     frontier: DataFrame, num_salts: int = DEFAULT_NUM_SALTS
 ) -> tuple[DataFrame, DataFrame]:

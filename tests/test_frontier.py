@@ -387,3 +387,46 @@ def test_bloom_no_false_negatives(spark, world, engine_run):
         seen, os.path.join(eng._round_dir(last), "bloom")
     )
     assert flagged.where(~F.col("maybe_seen")).count() == 0
+
+
+def test_host_reputation_scales_budgets(spark):
+    """Reputation feedback: high-quality hosts earn larger politeness
+    budgets, low-quality hosts are throttled but never starved, unknown
+    hosts use the default factor — and the scaled budget drives
+    select_batch directly."""
+    from crawler_engine_spark.frontier import politeness
+    from crawler_engine_spark.operators import urlops
+
+    urls = [
+        (f"https://{h}.example/p{i}",)
+        for h in ("good", "bad", "unknown")
+        for i in range(20)
+    ]
+    f = (
+        spark.createDataFrame(urls, "canonical_url string")
+        .withColumn("url_hash", urlops.url_hash_col(F.col("canonical_url")))
+        .withColumn("host", urlops.host_col(F.col("canonical_url")))
+        .withColumn("depth", F.lit(0))
+        .withColumn("parent_seq", F.lit(-1).cast("long"))
+        .withColumn("link_position", F.lit(0))
+        .withColumn("host_budget", F.lit(4))
+    )
+    rep = spark.createDataFrame(
+        [("good.example", 1.0), ("bad.example", 0.0)], "host string, avg_quality double"
+    )
+    scaled = politeness.apply_host_reputation(f, rep)  # 0.5x..2x
+    budgets = {
+        r["host"]: r["b"]
+        for r in scaled.groupBy("host").agg(F.max("host_budget").alias("b")).collect()
+    }
+    assert budgets == {
+        "good.example": 8,   # 4 * 2.0
+        "bad.example": 2,    # 4 * 0.5
+        "unknown.example": 5,  # 4 * 1.25 (default quality 0.5)
+    }
+    selected, _ = politeness.select_batch(scaled)
+    picked = {
+        r["host"]: r["n"]
+        for r in selected.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert picked == budgets  # budget binds (20 candidates per host)
