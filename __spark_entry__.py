@@ -904,6 +904,27 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusops.pack_sequences(docs, "doc_id", "wc", "source", cap=256)
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control strip + whitespace collapse over
+    deterministically dirtied text (decomposed accents, tabs, a control
+    char) — Arrow-batched UDF vs DuckDB's native nfc_normalize."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    # decomposed combining sequences + a control char + messy whitespace
+    # (written as escapes so the pre-NFC form is unambiguous in source)
+    dirty = F.concat(
+        F.col("text"),
+        F.lit("  cafe\u0301 \t zu\u0308rich \u0001x a\u030angstro\u0308m  "),
+    )
+    norm = corpusops.make_normalize_udf("NFC")(dirty)
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot (incremental) dedup: new docs (odd ids) that are
     neither exact nor near (J≥0.5) duplicates of the existing snapshot
@@ -1113,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": q_incremental_dedup,
         "host_reputation": q_host_reputation,
         "capped_sample": q_capped_sample,
+        "text_normalize": q_text_normalize,
     }
 
 
@@ -1926,6 +1948,27 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN kept k USING (doc_id)
         """,
     }
+    # text_normalize: DuckDB's nfc_normalize is the oracle for the Python
+    # unicodedata kernel; same op order (NFC → control strip → \s+ collapse
+    # → trim).  The injected whitespace is ASCII-only, where Python's \s
+    # and RE2's \s agree.
+    oracles["text_normalize"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 text || '  cafe' || chr(769) || ' ' || chr(9) || ' zu'
+                      || chr(776) || 'rich ' || chr(1) || 'x a' || chr(778)
+                      || 'ngstro' || chr(776) || 'm  ' AS dirty
+          FROM documents)
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(nfc_normalize(dirty),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                 '\s+', ' ', 'g')) AS norm_text,
+               CAST(length(trim(regexp_replace(regexp_replace(
+                 nfc_normalize(dirty),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+                 '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        FROM t
+    """
     # capped_sample: same hash-rank window (md5 15-hex-digit prefix as the
     # sort key, id tiebreak).
     oracles["capped_sample"] = """

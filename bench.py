@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "incremental_dedup",
     "host_reputation",
     "capped_sample",
+    "text_normalize",
 ]
 
 

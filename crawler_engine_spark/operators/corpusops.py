@@ -32,6 +32,8 @@ crawled text).  No reference parity applies — the DuckDB oracles in
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -75,6 +77,45 @@ def pii_counts(text: Column) -> dict[str, Column]:
             F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), F.lit(_IPV4_RE)
         ),
     }
+
+
+# --------------------------------------------------------------------------
+# Unicode text normalization (Arrow-batched; crawled text is never NFC-clean)
+# --------------------------------------------------------------------------
+
+
+def make_normalize_udf(form: str = "NFC", collapse_ws: bool = True):
+    """Arrow-batched Unicode normalizer: ``unicodedata.normalize(form, ·)``
+    plus optional control-char strip + whitespace collapse — the first
+    stage of any crawled-text pipeline (combining sequences, stray
+    controls, and exotic whitespace otherwise defeat hashing/dedup, which
+    compare bytes).  Python is unavoidable here (the JVM has no NFC
+    expression); the UDF is a pure map over Arrow batches — no shuffle,
+    fuses into the scan."""
+    import re as _re
+    import unicodedata
+
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    ctrl = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+    ws = _re.compile(r"\s+")
+
+    @pandas_udf(T.StringType())
+    def normalize(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        def one(s):
+            if s is None:
+                return None
+            out = unicodedata.normalize(form, s)
+            out = ctrl.sub("", out)
+            if collapse_ws:
+                out = ws.sub(" ", out).strip()
+            return out
+
+        for series in it:
+            yield series.map(one)
+
+    return normalize
 
 
 # --------------------------------------------------------------------------

@@ -377,3 +377,26 @@ def test_cli_corpus_funnel(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == vals[-1]
     assert "quality" in got.columns and "lang_pred" in got.columns
+
+
+# --------------------------------------------------------------------------
+# Unicode normalization
+# --------------------------------------------------------------------------
+
+
+def test_make_normalize_udf_nfc_controls_whitespace(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "café  x"),          # decomposed acute → é, double space
+            (1, "a\x01b\tc"),              # control stripped, tab collapsed
+            (2, None),                      # null passthrough
+            (3, "  already clean  "),      # trim only
+        ],
+        "doc_id long, text string",
+    )
+    norm = corpusops.make_normalize_udf("NFC")(F.col("text"))
+    got = {r["doc_id"]: r["n"] for r in df.select("doc_id", norm.alias("n")).collect()}
+    assert got[0] == "café x"
+    assert got[1] == "ab c"
+    assert got[2] is None
+    assert got[3] == "already clean"
