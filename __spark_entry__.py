@@ -1792,7 +1792,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # pii_redact: same three regexes (Java regex on the Spark side, RE2
         # in DuckDB — these patterns live in the common subset), same pass
-        # order; counts are taken on the raw synthesized text.
+        # order; each count is taken after the earlier passes, mirroring
+        # pii_counts exactly.
         "pii_redact": r"""
             WITH t AS (
               SELECT doc_id,
@@ -1813,9 +1814,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(pii_text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                      AS BIGINT) AS n_emails,
-                   CAST(len(regexp_extract_all(pii_text,
+                   CAST(len(regexp_extract_all(regexp_replace(pii_text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
                      '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
-                   CAST(len(regexp_extract_all(pii_text,
+                   CAST(len(regexp_extract_all(regexp_replace(regexp_replace(
+                     pii_text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT)
                      AS n_ips
             FROM t
@@ -2022,8 +2029,9 @@ def oracle_sql() -> dict[str, str]:
     oracles["url_features"] = f"""
         WITH u AS ({_ORDER_URLS_SQL}),
         f AS (SELECT okey, raw_url,
-                lower(regexp_extract(raw_url,
-                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)) AS host,
+                lower(regexp_replace(regexp_replace(regexp_extract(raw_url,
+                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                  '^.*@', ''), ':.*$', '')) AS host,
                 regexp_extract(raw_url,
                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
                 regexp_extract(raw_url, '\\?([^#]*)', 1) AS qs

@@ -169,7 +169,7 @@ def cmd_corpus(args) -> None:
     df = spark.read.parquet(args.docs)
     id_col, text_col = args.id_col, args.text_col
     stats = {"input": df.count()}
-    for op in args.ops.split(","):
+    for i, op in enumerate(args.ops.split(",")):
         op = op.strip()
         if op == "lang":
             df = df.withColumn("lang_pred", lang_id_col(F.col(text_col))).where(
@@ -214,7 +214,13 @@ def cmd_corpus(args) -> None:
             )
         else:
             raise SystemExit(f"unknown corpus op: {op}")
-        stats[op] = df.count()
+        # truncate lineage per stage: expensive ops (near_dedup's
+        # signatures+verify+components) must not re-execute for every later
+        # stage's count and again for the final write
+        df = df.localCheckpoint(eager=True)
+        # repeated ops keep distinct stage keys (quality,cap,quality)
+        key = op if op not in stats else f"{op}#{i + 1}"
+        stats[key] = df.count()
     df.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"command": "corpus", "stats": stats, "out": args.out}))
     spark.stop()

@@ -107,8 +107,11 @@ def apply_host_reputation(
         frontier.join(F.broadcast(rep), on="host", how="left")
         .withColumn(
             "host_budget",
+            # round to 6 decimals before flooring: IEEE doubles can land an
+            # exactly-representable product (10 × 1.4 = 13.999999…) just
+            # below its mathematical value and floor would undercount by 1
             F.greatest(
-                F.lit(1), F.floor(F.col("host_budget") * factor)
+                F.lit(1), F.floor(F.round(F.col("host_budget") * factor, 6))
             ).cast("int"),
         )
         .drop("_q")

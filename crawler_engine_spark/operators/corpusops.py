@@ -39,8 +39,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # --------------------------------------------------------------------------
-# Tokenization shared by the corpus operators (whitespace tokens — chunk
-# reassembly must reproduce the original byte stream, so no normalization)
+# Tokenization shared by the corpus operators (whitespace tokens; the
+# tokens keep their bytes, but operators that REASSEMBLE text from tokens
+# — chunk_dedup — emit single-space-joined output, i.e. whitespace is
+# normalized.  Run make_normalize_udf first if that matters downstream.)
 # --------------------------------------------------------------------------
 
 
@@ -61,21 +63,23 @@ _IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 def redact_pii_col(text: Column) -> Column:
     """Replace emails, NANP-style phone numbers, and IPv4 literals with
     typed placeholders.  Order matters: emails first (their local parts can
-    contain digit runs), then phones, then IPs (phone redaction never
-    produces digit.digit sequences, so the passes are independent)."""
+    contain digit runs), then phones, then IPs."""
     s = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
     s = F.regexp_replace(s, _PHONE_RE, "<PHONE>")
     return F.regexp_replace(s, _IPV4_RE, "<IP>")
 
 
 def pii_counts(text: Column) -> dict[str, Column]:
-    """Per-row PII hit counts (same patterns as the redactor)."""
+    """Per-row PII hit counts — each count is taken on the text AFTER the
+    earlier redaction passes, so the counts are exactly the number of
+    placeholders redact_pii_col emits (an IP-like span consumed by the
+    phone pass, e.g. '1.2.3.444-555-6666', is a phone, not an IP)."""
+    after_email = F.regexp_replace(text, _EMAIL_RE, "<EMAIL>")
+    after_phone = F.regexp_replace(after_email, _PHONE_RE, "<PHONE>")
     return {
         "n_emails": F.regexp_count(text, F.lit(_EMAIL_RE)),
-        "n_phones": F.regexp_count(text, F.lit(_PHONE_RE)),
-        "n_ips": F.regexp_count(
-            F.regexp_replace(text, _EMAIL_RE, "<EMAIL>"), F.lit(_IPV4_RE)
-        ),
+        "n_phones": F.regexp_count(after_email, F.lit(_PHONE_RE)),
+        "n_ips": F.regexp_count(after_phone, F.lit(_IPV4_RE)),
     }
 
 
@@ -176,9 +180,15 @@ def repetition_stats(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def url_feature_cols(url: Column) -> dict[str, Column]:
     """Typed URL features for corpus filtering: host, tld, path depth,
-    query-parameter count, fragment flag.  Pure column expressions."""
-    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
-    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query-parameter count, fragment flag.  Pure column expressions.
+
+    Host/path reuse urlops (userinfo and port stripped) so features key on
+    the SAME host string as the frontier/politeness tier — a reputation
+    rollup built here joins apply_host_reputation without misses."""
+    from . import urlops
+
+    host = urlops.host_col(url)
+    path = urlops.path_col(url)
     depth = F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
     qs = F.regexp_extract(url, r"\?([^#]*)", 1)
     n_params = F.when(qs == "", F.lit(0)).otherwise(F.size(F.split(qs, "&")))
@@ -314,7 +324,13 @@ def pack_sequences(
     Packing is order-dependent state, so it runs as an ``applyInPandas``
     fold per stream — the standard production contract where parallelism =
     number of pack streams (shards), not rows."""
-    schema = f"{stream_col} string, {id_col} long, bin_id long"
+    # output schema mirrors the input's actual key types (stream keys are
+    # often int shard ids, ids sometimes strings)
+    in_schema = {f.name: f.dataType.simpleString() for f in docs.schema.fields}
+    schema = (
+        f"{stream_col} {in_schema[stream_col]}, "
+        f"{id_col} {in_schema[id_col]}, bin_id long"
+    )
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort")
@@ -360,7 +376,9 @@ def chunk_dedup(
     fully emptied, subsuming doc-level dedup).
 
     Returns one row per input doc: (id, n_chunks, n_kept, clean_text) with
-    clean_text = the surviving chunks in original order ('' if none)."""
+    clean_text = the surviving chunks in original order ('' if none).
+    clean_text is single-space-joined (whitespace-normalized) — runs of
+    whitespace in the input do not survive reassembly."""
     toks = ws_tokens(F.col(text_col))
     n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
     chunked = docs.select(

@@ -400,3 +400,35 @@ def test_make_normalize_udf_nfc_controls_whitespace(spark):
     assert got[1] == "ab c"
     assert got[2] is None
     assert got[3] == "already clean"
+
+
+def test_pii_counts_match_redactions_on_overlap(spark):
+    # '1.2.3.444-555-6666': phone pass consumes the span → 0 IPs redacted,
+    # and counts must agree with the placeholders actually emitted
+    df = _docs(spark, [(0, "x 1.2.3.444-555-6666 y")])
+    counts = corpusops.pii_counts(F.col("text"))
+    r = df.select(
+        corpusops.redact_pii_col(F.col("text")).alias("red"),
+        counts["n_phones"].alias("p"), counts["n_ips"].alias("i"),
+    ).collect()[0]
+    assert r["red"].count("<PHONE>") == r["p"] == 1
+    assert r["red"].count("<IP>") == r["i"] == 0
+
+
+def test_pack_sequences_int_stream_key_and_string_id(spark):
+    rows = [(7, "a", 100), (7, "b", 100), (7, "c", 100), (9, "d", 50)]
+    df = spark.createDataFrame(rows, "shard int, name string, wc long")
+    got = {
+        (r["shard"], r["name"]): r["bin_id"]
+        for r in corpusops.pack_sequences(df, "name", "wc", "shard", cap=256).collect()
+    }
+    assert got == {(7, "a"): 0, (7, "b"): 0, (7, "c"): 1, (9, "d"): 0}
+
+
+def test_url_feature_host_strips_userinfo_and_port(spark):
+    df = spark.createDataFrame(
+        [(0, "https://alice@Example.com:8443/p?x=1")], "i long, url string"
+    )
+    f = corpusops.url_feature_cols(F.col("url"))
+    r = df.select(f["host"].alias("h"), f["tld"].alias("t")).collect()[0]
+    assert r["h"] == "example.com" and r["t"] == "com"

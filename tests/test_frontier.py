@@ -430,3 +430,16 @@ def test_host_reputation_scales_budgets(spark):
         for r in selected.groupBy("host").agg(F.count("*").alias("n")).collect()
     }
     assert picked == budgets  # budget binds (20 candidates per host)
+
+
+def test_host_reputation_floor_is_float_safe(spark):
+    """quality 0.6 → factor 1.4; budget 10 must scale to 14, not 13
+    (IEEE 10×1.4 = 13.999999999999998)."""
+    from crawler_engine_spark.frontier import politeness
+
+    f = spark.createDataFrame(
+        [("h.example", 10)], "host string, host_budget int"
+    )
+    rep = spark.createDataFrame([("h.example", 0.6)], "host string, avg_quality double")
+    out = politeness.apply_host_reputation(f, rep).collect()[0]
+    assert out["host_budget"] == 14
