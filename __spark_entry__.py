@@ -26,7 +26,17 @@ from crawler_engine_spark.operators.extraction import extract_pages
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a driver table.  The sandbox tables are single small parquet
+    files — one scan partition — which would serialize every Python-kernel
+    and explode-heavy stage onto one core; a real 100 TB table has
+    thousands of splits.  Repartition under-parallel scans up to the
+    session's parallelism (a few-MB shuffle) so the sandbox plan has the
+    cluster plan's parallelism; filters still push through the exchange."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        df = df.repartition(p)
+    return df
 
 
 # --------------------------------------------------------------------------

@@ -220,13 +220,20 @@ def decontaminate(
     The corpus side explodes all stride-1 n-grams (the honest
     decontamination cost: ~n_tokens rows per doc) and inner-joins; docs
     with no hit come back via the final left join with n_hits = 0."""
-    toks = ws_tokens(F.col(text_col))
-    grams = docs.select(
-        F.col(id_col).alias("_id"),
+    # materialize the token array in its own projection: referencing the
+    # split() expression inside the transform lambda would inline (and
+    # re-evaluate) the tokenization once per gram position — O(tokens²)
+    # splitting per row
+    toked = docs.select(
+        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    t = F.col("_toks")
+    grams = toked.select(
+        "_id",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
             )
         ).alias("gram"),
     )
@@ -379,15 +386,21 @@ def chunk_dedup(
     clean_text = the surviving chunks in original order ('' if none).
     clean_text is single-space-joined (whitespace-normalized) — runs of
     whitespace in the input do not survive reassembly."""
-    toks = ws_tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
-    chunked = docs.select(
-        F.col(id_col).alias("_id"),
+    # tokenize in a separate projection so the transform lambda references
+    # a bound column, not the split() expression (which would re-evaluate
+    # once per chunk position)
+    toked = docs.select(
+        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    t = F.col("_toks")
+    n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens)).cast("int")
+    chunked = toked.select(
+        "_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
                 lambda k: F.concat_ws(
-                    " ", F.slice(toks, k * chunk_tokens + 1, chunk_tokens)
+                    " ", F.slice(t, k * chunk_tokens + 1, chunk_tokens)
                 ),
             )
         ).alias("pos", "chunk"),
