@@ -385,10 +385,19 @@ def main() -> None:
     spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     queries = entry_mod.queries()
 
-    # Warm the JVM + one Python-worker stage once so the first timed query
-    # isn't charged ~5 s of one-time session startup.
+    # Warm the JVM + the Python/Arrow worker pool once so the first timed
+    # query isn't charged ~5 s of one-time session startup (word_counts is
+    # pure JVM; the pandas_udf stage forks all CPUS workers and imports
+    # pandas/numpy in each — production pipelines reuse that pool).
     spark.range(0, 1000).selectExpr("sum(id)").collect()
     _materialize(queries["word_counts"](spark, SF_DIR))
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s):
+        return s
+
+    _materialize(spark.range(0, CPUS * 10).repartition(CPUS).select(_warm(col("id"))))
 
     timings = {}
     t_suite = time.time()
