@@ -164,9 +164,12 @@ def q_batch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_strategy_running_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-strategy averages (hash-agg replaces incremental means)."""
     e = _t(spark, sf_dir, "events")
+    avg_stable = (
+        F.sum(F.col("value").cast("decimal(38,12)")).cast("double") / F.count("*")
+    )
     return e.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(avg_stable, 4).alias("avg_value"),
     )
 
 
@@ -313,7 +316,11 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r_name").alias("region"))
         .agg(
             F.count("*").alias("customers"),
-            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_acctbal"),
         )
     )
 
@@ -328,7 +335,13 @@ def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(38,12)")
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -340,9 +353,18 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(38,12)")).cast("double"), 2
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(38,12)")).cast("double"),
+                2,
+            ).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(38,12)")).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -1204,7 +1226,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "strategy_running_avg": """
-            SELECT event_type, COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 4) AS avg_value
             FROM events GROUP BY event_type
         """,
         "word_counts": r"""
@@ -1284,7 +1308,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "region_rollup": """
             SELECT r_name AS region, COUNT(*) AS customers,
-                   ROUND(AVG(c_acctbal), 4) AS avg_acctbal
+                   ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 4) AS avg_acctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             JOIN region ON n_regionkey = r_regionkey
@@ -1292,7 +1317,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_segment": """
             SELECT c_mktsegment, o_orderpriority,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(38,12))) AS DOUBLE), 2) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1301,9 +1327,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12)))
+                         AS DOUBLE), 2) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12)))
+                         AS DOUBLE), 2) AS sum_base_price,
+                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE)
+                         / COUNT(*), 4) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
