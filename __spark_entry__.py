@@ -957,6 +957,36 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary profile: top-50 corpus tokens with counts
+    and cumulative coverage share.  One map-side-combined groupBy builds
+    the count table; the cumulative window runs over only the top-50 rows
+    (vocabulary, not corpus, cardinality — the standard tokenizer-training
+    reduction)."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(corpusops.ws_tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("_t"))
+    top = counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(50)
+    w = (
+        Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("_cum", F.sum("n").over(w))
+        .select(
+            "tok",
+            "n",
+            F.round(F.col("_cum").cast("double") / F.col("_t"), 4).alias("coverage"),
+        )
+    )
+
+
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot (incremental) dedup: new docs (odd ids) that are
     neither exact nor near (J≥0.5) duplicates of the existing snapshot
@@ -1167,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation": q_host_reputation,
         "capped_sample": q_capped_sample,
         "text_normalize": q_text_normalize,
+        "vocab_stats": q_vocab_stats,
     }
 
 
@@ -1994,6 +2025,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN kept k USING (doc_id)
         """,
     }
+    # vocab_stats: same top-50 order (count desc, token asc) and the same
+    # int-count / double-total division on both sides.
+    oracles["vocab_stats"] = r"""
+        WITH toks AS (
+          SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)),
+                   '\s+'), x -> x != '')) AS tok
+          FROM documents),
+        c AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+        top AS (SELECT tok, n FROM c ORDER BY n DESC, tok ASC LIMIT 50)
+        SELECT tok, n,
+               ROUND(CAST(SUM(n) OVER (ORDER BY n DESC, tok ASC
+                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     / (SELECT t FROM tot), 4) AS coverage
+        FROM top
+    """
     # text_normalize: DuckDB's nfc_normalize is the oracle for the Python
     # unicodedata kernel; same op order (NFC → control strip → \s+ collapse
     # → trim).  The injected whitespace is ASCII-only, where Python's \s

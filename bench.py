@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "host_reputation",
     "capped_sample",
     "text_normalize",
+    "vocab_stats",
 ]
 
 
