@@ -94,6 +94,35 @@ def stream_corpus_filter(
     return writer.start()
 
 
+def stream_exact_dedup(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Stateful streaming exact dedup: one output row per distinct content
+    digest across ALL micro-batches (state = the digest set, carried in the
+    streaming state store; re-crawled identical pages in later batches are
+    dropped).  The batch twin is groupBy(digest).min(url) — the stream
+    keeps the first-seen arrival instead, so only the digest set (not the
+    surviving url) is deterministic under partition races; downstream
+    consumers key on the digest."""
+    pages = read_pages_stream(spark, pages_dir)
+    hashed = pages.select(
+        F.md5(F.col("text")).alias("digest"), "url", "warc_ts"
+    ).dropDuplicates(["digest"])
+    writer = (
+        hashed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 CANDIDATES_SCHEMA = "host string, canonical_url string, url_hash long"
 
 

@@ -432,3 +432,34 @@ def test_url_feature_host_strips_userinfo_and_port(spark):
     f = corpusops.url_feature_cols(F.col("url"))
     r = df.select(f["host"].alias("h"), f["tld"].alias("t")).collect()[0]
     assert r["h"] == "example.com" and r["t"] == "com"
+
+
+def test_stream_exact_dedup_digest_set_matches_batch(spark, tmp_path):
+    from crawler_engine_spark.data.gen import gen_pages_df
+    from crawler_engine_spark.streaming.pipeline import stream_exact_dedup
+
+    pages_dir = str(tmp_path / "pages")
+    base = gen_pages_df(spark, 30, partitions=2)
+    # write twice: second batch re-delivers identical content (recrawl)
+    base.write.parquet(pages_dir)
+    base.write.mode("append").parquet(pages_dir)
+
+    q = stream_exact_dedup(
+        spark, pages_dir, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    got = {
+        r["digest"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    want = {
+        r["digest"]
+        for r in spark.read.parquet(pages_dir)
+        .select(F.md5("text").alias("digest"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # stream emitted exactly one row per digest despite the duplicate batch
+    n_rows = spark.read.parquet(str(tmp_path / "out")).count()
+    assert n_rows == len(want)
