@@ -957,6 +957,31 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup clustering: embedding-cosine near-dup
+    pairs (the verified embedding_near_dup edge set) → connected
+    components; component = min reachable vec_id, the keep-one-per-cluster
+    step of embedding-level dedup.  Oracle: recursive-CTE closure over the
+    same exact-cosine pair set."""
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(dedup.cosine_col(F.col("emb_a"), F.col("emb_b")), 4).alias(
+                "cosine"
+            ),
+        )
+        .where(F.col("cosine") >= 0.3)
+    )
+    cc = dedup.connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("vec_id"), F.col("component").alias("cluster_id")
+    )
+
+
 def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-prep vocabulary profile: top-50 corpus tokens with counts
     and cumulative coverage share.  One map-side-combined groupBy builds
@@ -1198,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "capped_sample": q_capped_sample,
         "text_normalize": q_text_normalize,
         "vocab_stats": q_vocab_stats,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -2025,6 +2051,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN kept k USING (doc_id)
         """,
     }
+    # semantic_dedup: closure over the exact-cosine edge set (the same
+    # rounded-cosine ≥ 0.3 pairs as embedding_near_dup); component = min
+    # reachable id including self.
+    oracles["semantic_dedup"] = """
+        WITH RECURSIVE p AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+          WHERE a.vec_id < 200 AND b.vec_id < 200
+            AND ROUND(list_cosine_similarity(a.embedding, b.embedding), 4)
+                >= 0.3),
+        edges AS (
+          SELECT id_a AS src, id_b AS dst FROM p
+          UNION ALL SELECT id_b, id_a FROM p),
+        reach(src, dst) AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        SELECT src AS vec_id, least(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    """
     # vocab_stats: same top-50 order (count desc, token asc) and the same
     # int-count / double-total division on both sides.
     oracles["vocab_stats"] = r"""

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "capped_sample",
     "text_normalize",
     "vocab_stats",
+    "semantic_dedup",
 ]
 
 
