@@ -537,27 +537,67 @@ def simhash_candidates(
 # --------------------------------------------------------------------------
 
 
+def _driver_union_find(rows, spark) -> DataFrame:
+    """Exact min-id components for a driver-resident edge list."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "node long, component long")
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``, where
     component = the minimum node id reachable — the step between near-dup
     pair generation and canonical-document selection (keep min-id per
     cluster, drop the rest).
 
-    Plain min-label propagation: each iteration joins labels across edges
-    and keeps the smaller label, with an eager localCheckpoint per round to
-    cut the iterative lineage (Spark's classic iterative-algorithm trap) and
-    an early exit when no label changes.  Convergence takes
-    O(component diameter) rounds — near-dup clusters are shallow (dozens of
-    docs, diameter a few hops), so this beats the constant-factor overhead
-    of alternating large-star/small-star at this shape; for adversarial
-    long-chain graphs at 10^10 scale, swap in star-contraction (halves
-    diameter per round) behind the same signature."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    Two paths behind one contract:
+
+    * ``pairs`` ≤ ``driver_threshold`` — exact union-find on the driver
+      (one collect of the pair list, ≤ ~16 MB at the default threshold).
+      Verified near-dup pair graphs are metadata-sized relative to their
+      corpus, and the iterative path's per-round job latency (~1 s × rounds
+      of eager checkpoints) dwarfs the work at this size.
+    * larger — distributed min-label propagation: each iteration joins
+      labels across edges and keeps the smaller label, with an eager
+      localCheckpoint per round to cut the iterative lineage (Spark's
+      classic iterative-algorithm trap) and an early exit when no label
+      changes.  Convergence takes O(component diameter) rounds — near-dup
+      clusters are shallow; for adversarial long-chain graphs at 10^10
+      scale, swap in star-contraction behind the same signature.
+
+    Both paths return identical output (locked by
+    test_connected_components_paths_agree).  Pass ``driver_threshold=0``
+    to force the distributed path."""
+    edges0 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if driver_threshold:
+        edges0 = edges0.localCheckpoint(eager=True)
+        if edges0.count() <= driver_threshold:
+            rows = [(r["src"], r["dst"]) for r in edges0.collect()]
+            return _driver_union_find(rows, pairs.sparkSession)
+    edges = edges0
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

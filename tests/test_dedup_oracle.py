@@ -274,3 +274,23 @@ def test_minhash_dedup_cc_is_transitive(spark):
     assert (1, 2) not in got_pairs
     assert sweep == {1, 2, 9}   # 3 dropped; 2 survives (no direct pair)
     assert cc == {1, 9}         # whole cluster collapses to its minimum
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver-side union-find fast path and the distributed min-label
+    propagation must return identical (node, component) sets."""
+    edges = (
+        [(i, i + 1) for i in range(12)]
+        + [(100, 101), (101, 102), (100, 102)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) == 13 + 3 + 2
