@@ -1150,6 +1150,34 @@ def _simhash_sql() -> str:
     """
 
 
+def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-trap detection (frontier guard): collapse each URL to its
+    digit-template and profile distinct-URL counts per (host, template).
+    The synthesized corpus mixes an unbounded ``/doc/<orderkey>`` family
+    (every URL distinct — trap-shaped) with a bounded ``/cal/2024/<month>``
+    family (≤ 12 distinct per host); threshold 50 separates them at every
+    sf.  One map-side-combined aggregation — pattern-cardinality output."""
+    from crawler_engine_spark.frontier.traps import url_pattern_profile
+
+    o = _t(spark, sf_dir, "orders")
+    path = F.when(
+        o.o_orderkey % 5 == 0,
+        F.concat(F.lit("/cal/2024/"), (o.o_orderkey % 12).cast("string")),
+    ).otherwise(F.concat(F.lit("/doc/"), o.o_orderkey.cast("string")))
+    url = F.concat(
+        F.lit("https://host"),
+        (o.o_custkey % 8).cast("string"),
+        F.lit(".example"),
+        path,
+    )
+    urls = o.select(url.alias("canonical_url"))
+    prof = url_pattern_profile(urls, threshold=50)
+    return prof.select(
+        "host", "url_pattern", F.col("n_urls").cast("long").alias("n_urls"),
+        "trap_suspect",
+    )
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -1224,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": q_text_normalize,
         "vocab_stats": q_vocab_stats,
         "semantic_dedup": q_semantic_dedup,
+        "trap_detect": q_trap_detect,
     }
 
 
@@ -2189,5 +2218,23 @@ def oracle_sql() -> dict[str, str]:
           AND q.doc_id NOT IN (
             SELECT doc_id FROM ({oracles["near_dup_clusters"]}) c
             WHERE c.doc_id != c.cluster_id)
+    """
+    # trap_detect: digit-template profiling — regexp_replace needs the 'g'
+    # flag in DuckDB (Spark's replaces all matches by default).
+    oracles["trap_detect"] = """
+        WITH u AS (
+          SELECT 'https://host' || CAST(o_custkey % 8 AS VARCHAR) || '.example'
+                 || CASE WHEN o_orderkey % 5 = 0
+                         THEN '/cal/2024/' || CAST(o_orderkey % 12 AS VARCHAR)
+                         ELSE '/doc/' || CAST(o_orderkey AS VARCHAR) END
+                   AS canonical_url
+          FROM orders)
+        SELECT lower(regexp_extract(canonical_url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
+               regexp_replace(regexp_replace(canonical_url, '[0-9]+', 'N', 'g'),
+                 '[a-f]{8,}', 'H', 'g') AS url_pattern,
+               CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
+               COUNT(DISTINCT canonical_url) >= 50 AS trap_suspect
+        FROM u GROUP BY 1, 2
     """
     return oracles

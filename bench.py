@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "text_normalize",
     "vocab_stats",
     "semantic_dedup",
+    "trap_detect",
 ]
 
 

@@ -1,0 +1,107 @@
+"""Crawl-trap detection: URL-pattern explosion profiling + frontier pruning.
+
+Crawler traps (calendars, session-id links, faceted search, infinite
+pagination) show up in a frontier as one URL *template* expanding into an
+unbounded set of concrete URLs on a single host.  The reference engine never
+meets this failure mode — it crawls operator-supplied URL lists
+(core/extractor.py batch entry points) — but a 10^10-URL frontier dies on it,
+so the frontier tier grows an explicit guard:
+
+* :func:`url_pattern_col` — collapse every digit run (and long hex runs,
+  which catch session ids / content hashes) to a placeholder, turning each
+  concrete URL into its template.
+* :func:`url_pattern_profile` — one map-side-combined aggregation over
+  ``(host, pattern)`` counting distinct URLs; patterns above ``threshold``
+  are flagged ``trap_suspect``.
+* :func:`prune_traps` — drop frontier rows whose ``(host, pattern)`` is
+  flagged, keeping up to ``keep_per_pattern`` lowest-hash survivors per
+  flagged pattern so a legitimately-large section is sampled, not erased.
+
+Scale shape: the profile is a single hash aggregation on ``(host,
+pattern)`` — partial aggregation map-side, one shuffle of
+pattern-cardinality rows (≪ URL cardinality).  The flagged-pattern set is
+pattern-cardinality too, so ``prune_traps`` broadcasts it; the per-pattern
+survivor window only runs on rows already inside flagged patterns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..operators.urlops import host_col, url_hash_col
+
+#: flag a (host, pattern) once it has this many distinct URLs
+DEFAULT_TRAP_THRESHOLD = 10_000
+
+
+def url_pattern_col(url: Column) -> Column:
+    """URL → template: digit runs → ``N``, then 8+-char lowercase-hex runs
+    (session ids, content digests) → ``H``.  Order matters — digits are
+    hex too, so the digit collapse runs first and ``H`` only catches runs
+    that still look like hex after it."""
+    no_digits = F.regexp_replace(url, r"[0-9]+", "N")
+    return F.regexp_replace(no_digits, r"[a-f]{8,}", "H")
+
+
+def url_pattern_profile(
+    frontier: DataFrame,
+    url_col: str = "canonical_url",
+    threshold: int = DEFAULT_TRAP_THRESHOLD,
+) -> DataFrame:
+    """``(host, url_pattern, n_urls, trap_suspect)`` — one row per URL
+    template per host.  One shuffle (hash agg with map-side combine)."""
+    return (
+        frontier.select(
+            host_col(F.col(url_col)).alias("host"),
+            url_pattern_col(F.col(url_col)).alias("url_pattern"),
+            F.col(url_col).alias("_url"),
+        )
+        .groupBy("host", "url_pattern")
+        .agg(F.countDistinct("_url").alias("n_urls"))
+        .withColumn("trap_suspect", F.col("n_urls") >= F.lit(threshold))
+    )
+
+
+def prune_traps(
+    frontier: DataFrame,
+    url_col: str = "canonical_url",
+    threshold: int = DEFAULT_TRAP_THRESHOLD,
+    keep_per_pattern: int = 100,
+) -> DataFrame:
+    """Frontier minus trap-pattern URLs, sampling ``keep_per_pattern``
+    lowest-``xxhash64`` URLs from each flagged pattern (deterministic, no
+    ordering dependence).  Columns of ``frontier`` pass through unchanged.
+
+    The flagged set is (host, pattern)-cardinality — broadcast it; the
+    top-k window runs only over rows that joined a flagged pattern."""
+    suspects = (
+        url_pattern_profile(frontier, url_col, threshold)
+        .where("trap_suspect")
+        .select("host", "url_pattern")
+    )
+    keyed = frontier.withColumn(
+        "_host", host_col(F.col(url_col))
+    ).withColumn("_pat", url_pattern_col(F.col(url_col)))
+    flagged = keyed.join(
+        F.broadcast(suspects),
+        (keyed["_host"] == suspects["host"])
+        & (keyed["_pat"] == suspects["url_pattern"]),
+        "left_semi",
+    )
+    clean = keyed.join(
+        F.broadcast(suspects),
+        (keyed["_host"] == suspects["host"])
+        & (keyed["_pat"] == suspects["url_pattern"]),
+        "left_anti",
+    )
+    w = Window.partitionBy("_host", "_pat").orderBy(
+        url_hash_col(F.col(url_col)), F.col(url_col)
+    )
+    sampled = (
+        flagged.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= keep_per_pattern)
+        .drop("_rk")
+    )
+    out_cols = frontier.columns
+    return clean.select(*out_cols).unionByName(sampled.select(*out_cols))

@@ -443,3 +443,71 @@ def test_host_reputation_floor_is_float_safe(spark):
     rep = spark.createDataFrame([("h.example", 0.6)], "host string, avg_quality double")
     out = politeness.apply_host_reputation(f, rep).collect()[0]
     assert out["host_budget"] == 14
+
+
+# ---------------------------------------------------------------------------
+# Crawl-trap detection (frontier/traps.py)
+# ---------------------------------------------------------------------------
+
+
+def _trap_frontier(spark):
+    """60 URLs of one exploding template on hostA + 3 calendar pages on
+    hostA + 5 distinct templates on hostB."""
+    rows = (
+        [(f"https://hosta.example/doc/{i}",) for i in range(60)]
+        + [(f"https://hosta.example/cal/2024/{m}",) for m in (1, 2, 3)]
+        + [(f"https://hostb.example/{p}/1",) for p in "vwxyz"]
+    )
+    return spark.createDataFrame(rows, "canonical_url string")
+
+
+def test_url_pattern_collapses_digits_and_hex(spark):
+    from crawler_engine_spark.frontier.traps import url_pattern_col
+
+    df = spark.createDataFrame(
+        [
+            ("https://h.example/doc/123?p=9",),
+            ("https://h.example/s/deadbeefcafe42/x",),
+            ("https://h.example/plain",),
+        ],
+        "u string",
+    )
+    got = [r["p"] for r in df.select(url_pattern_col(F.col("u")).alias("p")).collect()]
+    assert got == [
+        "https://h.example/doc/N?p=N",
+        "https://h.example/s/HN/x",
+        "https://h.example/plain",
+    ]
+
+
+def test_trap_profile_flags_only_exploding_patterns(spark):
+    from crawler_engine_spark.frontier.traps import url_pattern_profile
+
+    prof = url_pattern_profile(_trap_frontier(spark), threshold=50)
+    flagged = {
+        (r["host"], r["url_pattern"]): r["n_urls"]
+        for r in prof.where("trap_suspect").collect()
+    }
+    assert flagged == {("hosta.example", "https://hosta.example/doc/N"): 60}
+    assert prof.where("NOT trap_suspect").count() == 6  # 1 cal + 5 hostb
+
+
+def test_prune_traps_samples_flagged_keeps_clean(spark):
+    from crawler_engine_spark.frontier.traps import prune_traps, url_pattern_col
+
+    frontier = _trap_frontier(spark)
+    pruned = prune_traps(frontier, threshold=50, keep_per_pattern=10)
+    out = [r["canonical_url"] for r in pruned.collect()]
+    assert len(out) == len(set(out))
+    doc = [u for u in out if "/doc/" in u]
+    assert len(doc) == 10  # sampled down from 60
+    assert set(u for u in out if "/doc/" not in u) == {
+        r["canonical_url"]
+        for r in frontier.where(~F.col("canonical_url").contains("/doc/")).collect()
+    }
+    # deterministic survivor set (lowest xxhash64 per pattern)
+    again = [r["canonical_url"] for r in prune_traps(
+        frontier, threshold=50, keep_per_pattern=10).collect()]
+    assert sorted(out) == sorted(again)
+    # schema passthrough
+    assert pruned.columns == frontier.columns
