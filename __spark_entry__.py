@@ -1178,6 +1178,42 @@ def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sitemap_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion: per-host ``<urlset>`` XML (synthesized from
+    orders with mixed-case hosts, whitespace-padded ``<loc>`` values and
+    ``&amp;`` entities) → extracted, entity-decoded, canonicalized,
+    deduplicated seed set.  Parsing is pure JVM ``regexp_extract_all`` +
+    ``replace`` fused into the scan; the only shuffle is the seed
+    distinct."""
+    from crawler_engine_spark.frontier.sitemaps import seeds_from_sitemaps
+
+    o = _t(spark, sf_dir, "orders")
+    loc = F.concat(
+        F.lit("https://Host"),
+        (o.o_custkey % 8).cast("string"),
+        F.lit(".Example/doc/"),
+        o.o_orderkey.cast("string"),
+        F.when(o.o_orderkey % 3 == 0, F.lit("?a=1&amp;b=2")).otherwise(F.lit("")),
+    )
+    entry = F.concat(F.lit("<url><loc> "), loc, F.lit(" </loc></url>"))
+    host = F.concat(F.lit("host"), (o.o_custkey % 8).cast("string"), F.lit(".example"))
+    sitemaps = (
+        o.select(host.alias("host"), entry.alias("entry"))
+        .groupBy("host")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.concat_ws("", F.array_sort(F.collect_list("entry"))),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    seeds = seeds_from_sitemaps(sitemaps.select("xml"))
+    # seed_rank is xxhash64 (JVM-only — not DuckDB-recomputable); the rank
+    # determinism is pytest-locked, the oracle checks the seed URL set.
+    return seeds.select("url")
+
+
 # --------------------------------------------------------------------------
 # Contract functions
 # --------------------------------------------------------------------------
@@ -1253,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": q_vocab_stats,
         "semantic_dedup": q_semantic_dedup,
         "trap_detect": q_trap_detect,
+        "sitemap_seeds": q_sitemap_seeds,
     }
 
 
@@ -2236,5 +2273,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
                COUNT(DISTINCT canonical_url) >= 50 AS trap_suspect
         FROM u GROUP BY 1, 2
+    """
+    # sitemap_seeds: rebuild the same per-host <urlset> docs, extract +
+    # entity-decode + canonicalize + dedup the <loc> entries.
+    oracles["sitemap_seeds"] = f"""
+        WITH u AS (
+          SELECT 'host' || CAST(o_custkey % 8 AS VARCHAR) || '.example' AS host,
+                 '<url><loc> https://Host' || CAST(o_custkey % 8 AS VARCHAR)
+                 || '.Example/doc/' || CAST(o_orderkey AS VARCHAR)
+                 || CASE WHEN o_orderkey % 3 = 0 THEN '?a=1&amp;b=2' ELSE '' END
+                 || ' </loc></url>' AS entry
+          FROM orders),
+        x AS (SELECT host,
+                     '<urlset>' || string_agg(entry, '' ORDER BY entry)
+                     || '</urlset>' AS xml
+              FROM u GROUP BY host),
+        l AS (SELECT unnest(regexp_extract_all(xml,
+                       '<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS rawloc
+              FROM x),
+        d AS (SELECT replace(replace(replace(replace(replace(rawloc,
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&apos;', ''''), '&amp;', '&') AS raw_url
+              FROM l)
+        SELECT DISTINCT {_CANON_SQL} AS url FROM d
     """
     return oracles

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "vocab_stats",
     "semantic_dedup",
     "trap_detect",
+    "sitemap_seeds",
 ]
 
 

@@ -511,3 +511,80 @@ def test_prune_traps_samples_flagged_keeps_clean(spark):
     assert sorted(out) == sorted(again)
     # schema passthrough
     assert pruned.columns == frontier.columns
+
+
+# ---------------------------------------------------------------------------
+# Sitemap ingestion (frontier/sitemaps.py)
+# ---------------------------------------------------------------------------
+
+_URLSET = (
+    "<urlset><url><loc> https://A.Example/p?x=1&amp;y=2 </loc></url>"
+    "<url><loc>https://a.example/q</loc></url>"
+    "<url><loc>https://a.example/p?x=9#frag</loc></url></urlset>"
+)
+_INDEX = (
+    "<sitemapindex><sitemap><loc>https://a.example/sitemap1.xml</loc>"
+    "</sitemap></sitemapindex>"
+)
+
+
+def test_sitemap_locs_trim_and_entity_decode(spark):
+    from crawler_engine_spark.frontier.sitemaps import sitemap_locs_col
+
+    df = spark.createDataFrame(
+        [(_URLSET,), ("<urlset><url><loc>https://x/&amp;lt;</loc></url></urlset>",)],
+        "xml string",
+    )
+    got = [r["l"] for r in df.select(sitemap_locs_col(F.col("xml")).alias("l")).collect()]
+    assert got[0] == [
+        "https://A.Example/p?x=1&y=2",
+        "https://a.example/q",
+        "https://a.example/p?x=9#frag",
+    ]
+    # &amp;lt; is the literal text '&lt;', not '<'
+    assert got[1] == ["https://x/&lt;"]
+
+
+def test_sitemap_seeds_skip_index_canonicalize_dedup(spark):
+    from crawler_engine_spark.frontier.sitemaps import (
+        is_sitemap_index_col,
+        seeds_from_sitemaps,
+    )
+
+    df = spark.createDataFrame([(_URLSET,), (_INDEX,)], "xml string")
+    kinds = df.select(is_sitemap_index_col(F.col("xml")).alias("k")).collect()
+    assert sorted(r["k"] for r in kinds) == [False, True]
+    seeds = seeds_from_sitemaps(df)
+    rows = {r["url"]: r["seed_rank"] for r in seeds.collect()}
+    # index locs excluded; query/fragment dropped; host lowercased; deduped
+    assert set(rows) == {"https://a.example/p", "https://a.example/q"}
+    # init_from_seeds contract columns + deterministic rank
+    assert seeds.columns == ["url", "seed_rank", "query"]
+    again = {r["url"]: r["seed_rank"] for r in seeds_from_sitemaps(df).collect()}
+    assert rows == again
+
+
+def test_sitemap_seeds_drive_crawl_engine(spark, tmp_path):
+    """Seeds produced from sitemaps feed CrawlEngine.init_from_seeds."""
+    from crawler_engine_spark.data import gen as datagen
+    from crawler_engine_spark.frontier.sitemaps import seeds_from_sitemaps
+
+    pages = datagen.gen_pages_df(spark, 30, partitions=2)
+    pages.write.mode("overwrite").parquet(str(tmp_path / "pages"))
+    urls = [r["url"] for r in pages.select("url").limit(5).collect()]
+    xml = "<urlset>" + "".join(f"<url><loc>{u}</loc></url>" for u in urls) + "</urlset>"
+    seeds = seeds_from_sitemaps(spark.createDataFrame([(xml,)], "xml string"))
+    robots = spark.createDataFrame(
+        [], "host string, disallow_prefixes array<string>, crawl_delay_s double"
+    )
+    eng = CrawlEngine(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        pages_path=str(tmp_path / "pages"),
+        robots=robots,
+        config=CrawlConfig(round_seconds=1000.0, bloom_partitions=8,
+                           bloom_bits_per_segment=1 << 16),
+    )
+    eng.init_from_seeds(seeds)
+    rec = eng.run_round(1)
+    assert rec is not None and rec["fetched"] == 5
