@@ -33,6 +33,33 @@ def _xml_unescape(s: Column) -> Column:
     return F.replace(s, F.lit("&amp;"), F.lit("&"))
 
 
+def robots_sitemap_urls_col(robots_txt: Column) -> Column:
+    """``array<string>`` of ``Sitemap:`` directive URLs from a robots.txt
+    body.  The directive is agent-independent (it may appear outside any
+    ``User-agent`` group), case-insensitive, one per line — a pure
+    line-anchored regexp scan, no stateful parse needed."""
+    return F.regexp_extract_all(
+        robots_txt, F.lit(r"(?im)^[ \t]*sitemap:[ \t]*(\S+)"), F.lit(1)
+    )
+
+
+def sitemap_urls_from_robots(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """``(host, sitemap_url)`` from the page store's ``/robots.txt`` rows —
+    the discovery step feeding :func:`seeds_from_sitemaps` (fetch the
+    returned URLs, then parse their XML).  The binary body is taken as
+    UTF-8; the robots spec is ASCII-oriented, and a malformed byte can at
+    worst corrupt one directive line."""
+    robots = pages.where(F.col(url_col).endswith("/robots.txt"))
+    return robots.select(
+        host_col(F.col(url_col)).alias("host"),
+        F.explode(
+            robots_sitemap_urls_col(F.col(html_col).cast("string"))
+        ).alias("sitemap_url"),
+    ).distinct()
+
+
 def sitemap_locs_col(xml: Column) -> Column:
     """``array<string>`` of trimmed, entity-decoded ``<loc>`` values —
     works for both ``<urlset>`` leaves and ``<sitemapindex>`` indexes

@@ -588,3 +588,30 @@ def test_sitemap_seeds_drive_crawl_engine(spark, tmp_path):
     eng.init_from_seeds(seeds)
     rec = eng.run_round(1)
     assert rec is not None and rec["fetched"] == 5
+
+
+def test_sitemap_discovery_from_robots(spark):
+    """Sitemap: directives (any case, CRLF, outside agent groups) →
+    (host, sitemap_url); non-robots pages ignored."""
+    from crawler_engine_spark.frontier.sitemaps import sitemap_urls_from_robots
+
+    robots_a = (
+        b"User-agent: *\r\nDisallow: /private\r\n"
+        b"SITEMAP: https://a.example/sitemap.xml\r\n"
+        b"sitemap:   https://a.example/news.xml\r\n"
+    )
+    robots_b = b"User-agent: x\nAllow: /\n"  # no sitemap line
+    rows = [
+        ("https://a.example/robots.txt", robots_a),
+        ("https://b.example/robots.txt", robots_b),
+        ("https://a.example/page", b"Sitemap: https://evil.example/x.xml"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {
+        (r["host"], r["sitemap_url"])
+        for r in sitemap_urls_from_robots(pages).collect()
+    }
+    assert got == {
+        ("a.example", "https://a.example/sitemap.xml"),
+        ("a.example", "https://a.example/news.xml"),
+    }
