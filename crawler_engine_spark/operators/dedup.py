@@ -537,8 +537,11 @@ def simhash_candidates(
 # --------------------------------------------------------------------------
 
 
-def _driver_union_find(rows, spark) -> DataFrame:
-    """Exact min-id components for a driver-resident edge list."""
+def _driver_union_find(rows, spark, id_type) -> DataFrame:
+    """Exact min-id components for a driver-resident edge list.  The result
+    schema carries the *input's* id type — node ids are whatever the caller
+    deduplicates on (long doc ids, string URLs, ...), and hardcoding a type
+    here would crash the default fast path for non-integer ids."""
     parent: dict = {}
 
     def find(x):
@@ -558,7 +561,13 @@ def _driver_union_find(rows, spark) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(out, "node long, component long")
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type, nullable=False),
+            T.StructField("component", id_type, nullable=False),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
 
 
 def connected_components(
@@ -580,23 +589,28 @@ def connected_components(
       Verified near-dup pair graphs are metadata-sized relative to their
       corpus, and the iterative path's per-round job latency (~1 s × rounds
       of eager checkpoints) dwarfs the work at this size.
-    * larger — distributed min-label propagation: each iteration joins
-      labels across edges and keeps the smaller label, with an eager
-      localCheckpoint per round to cut the iterative lineage (Spark's
-      classic iterative-algorithm trap) and an early exit when no label
-      changes.  Convergence takes O(component diameter) rounds — near-dup
-      clusters are shallow; for adversarial long-chain graphs at 10^10
-      scale, swap in star-contraction behind the same signature.
+    * larger — distributed min-label propagation with pointer-jumping
+      shortcuts (Shiloach–Vishkin style): each iteration (1) joins labels
+      across edges and keeps the smaller label, then (2) replaces every
+      label with its label's label (``label ← label(label)``), halving
+      pointer-chain depth.  Each round uses an eager localCheckpoint to cut
+      the iterative lineage (Spark's classic iterative-algorithm trap) and
+      exits early when no label changes.  The shortcut turns the
+      O(component diameter) convergence of plain propagation into
+      O(log diameter) — an adversarial million-node chain converges in
+      ~20 rounds instead of a million (locked by
+      test_connected_components_long_chain).
 
     Both paths return identical output (locked by
     test_connected_components_paths_agree).  Pass ``driver_threshold=0``
     to force the distributed path."""
     edges0 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    id_type = edges0.schema["src"].dataType
     if driver_threshold:
         edges0 = edges0.localCheckpoint(eager=True)
         if edges0.count() <= driver_threshold:
             rows = [(r["src"], r["dst"]) for r in edges0.collect()]
-            return _driver_union_find(rows, pairs.sparkSession)
+            return _driver_union_find(rows, pairs.sparkSession, id_type)
     edges = edges0
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -613,14 +627,25 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr, labels.node == nbr.src, "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jump: label ← label(label).  Every label value is itself a
+        # node (labels start as self and only node ids propagate), and
+        # label(x) ≤ x, so the inner self-join is total and monotone — this
+        # halves pointer-chain depth each round (O(log diameter) total).
         new_labels = (
-            labels.join(nbr, labels.node == nbr.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+            stepped.alias("a")
+            .join(
+                stepped.select(
+                    F.col("node").alias("_jn"), F.col("label").alias("_jl")
+                ),
+                F.col("a.label") == F.col("_jn"),
             )
+            .select(F.col("a.node").alias("node"), F.col("_jl").alias("label"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -637,8 +662,9 @@ def connected_components(
         # dedup decision wrong; fail loudly instead
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
-            "(a component's label-propagation distance exceeds the budget); "
-            "raise max_iter or switch to star-contraction for long chains"
+            "(with pointer-jumping this bounds component diameter by "
+            f"~2^{max_iter}; such a graph is almost certainly malformed); "
+            "raise max_iter if it is genuinely that deep"
         )
     return labels.select(F.col("node"), F.col("label").alias("component"))
 

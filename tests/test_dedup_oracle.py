@@ -294,3 +294,48 @@ def test_connected_components_paths_agree(spark):
         for r in dedup.connected_components(df, driver_threshold=0).collect()
     }
     assert fast == dist and len(fast) == 13 + 3 + 2
+
+
+def test_connected_components_string_ids(spark):
+    """Non-integer node ids (URL-keyed dedup, crawl.py corpus --id-col on a
+    URL column) must work on BOTH paths — the driver fast path used to
+    hardcode a long schema and crash on strings."""
+    edges = [
+        ("https://a/1", "https://a/2"),
+        ("https://a/2", "https://a/3"),
+        ("https://b/x", "https://b/y"),
+    ]
+    df = spark.createDataFrame(edges, "id_a string, id_b string")
+    want = {
+        ("https://a/1", "https://a/1"),
+        ("https://a/2", "https://a/1"),
+        ("https://a/3", "https://a/1"),
+        ("https://b/x", "https://b/x"),
+        ("https://b/y", "https://b/x"),
+    }
+    fast = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(df).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(df, driver_threshold=0).collect()
+    }
+    assert fast == want and dist == want
+    # schema carries the input id type on both paths
+    assert dedup.connected_components(df).schema["node"].dataType.simpleString() == "string"
+
+
+def test_connected_components_long_chain(spark):
+    """A 10k-node chain needs 10k rounds under plain min-label propagation
+    (the pre-shortcut implementation raised at max_iter=25); pointer
+    jumping converges it in ~log2(10000)+1 ≈ 15 rounds."""
+    n = 10_000
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    out = dedup.connected_components(df, driver_threshold=0, max_iter=25)
+    comp = out.agg(
+        F.countDistinct("component").alias("c"), F.count("*").alias("n"),
+        F.min("component").alias("m"),
+    ).first()
+    assert (comp["c"], comp["n"], comp["m"]) == (1, n, 0)
