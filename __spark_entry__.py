@@ -2256,9 +2256,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM ({oracles["near_dup_clusters"]}) c
             WHERE c.doc_id != c.cluster_id)
     """
-    # trap_detect: digit-template profiling — regexp_replace needs the 'g'
-    # flag in DuckDB (Spark's replaces all matches by default).
-    oracles["trap_detect"] = """
+    # trap_detect: URL-template profiling — the template expression replays
+    # crawler_engine_spark.frontier.traps.PATTERN_RULES verbatim (the rules
+    # are RE2-compatible by contract; DuckDB regexp_replace needs the 'g'
+    # flag to match Spark's replace-all default).
+    from crawler_engine_spark.frontier.traps import PATTERN_RULES
+
+    pattern_sql = "canonical_url"
+    for pat, repl in PATTERN_RULES:
+        # DuckDB standard strings: only quotes need escaping (no rule uses
+        # backslashes; RE2 compatibility is part of the PATTERN_RULES contract)
+        pattern_sql = (
+            f"regexp_replace({pattern_sql}, '{pat.replace(chr(39), chr(39) * 2)}', "
+            f"'{repl}', 'g')"
+        )
+    oracles["trap_detect"] = f"""
         WITH u AS (
           SELECT 'https://host' || CAST(o_custkey % 8 AS VARCHAR) || '.example'
                  || CASE WHEN o_orderkey % 5 = 0
@@ -2268,8 +2280,7 @@ def oracle_sql() -> dict[str, str]:
           FROM orders)
         SELECT lower(regexp_extract(canonical_url,
                  '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host,
-               regexp_replace(regexp_replace(canonical_url, '[0-9]+', 'N', 'g'),
-                 '[a-f]{8,}', 'H', 'g') AS url_pattern,
+               {pattern_sql} AS url_pattern,
                CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_urls,
                COUNT(DISTINCT canonical_url) >= 50 AS trap_suspect
         FROM u GROUP BY 1, 2

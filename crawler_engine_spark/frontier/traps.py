@@ -35,13 +35,41 @@ from ..operators.urlops import host_col, url_hash_col
 DEFAULT_TRAP_THRESHOLD = 10_000
 
 
+#: the template rules, in application order.  All RE2-compatible (no
+#: lookaheads) so the DuckDB correctness oracle can replay them verbatim.
+PATTERN_RULES = (
+    # dashed UUIDs first — the hex rule would shred them into H-xxxx-… chunks
+    (
+        r"[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        r"-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}",
+        "U",
+    ),
+    # %-encoded runs (percent-encoded session payloads, calendar params)
+    (r"(?:%[0-9a-fA-F]{2})+", "P"),
+    # 8+-char hex runs, case-insensitive via the class (RE2-safe), BEFORE the
+    # digit rule so mixed digit/letter hex ids collapse wholesale instead of
+    # fragmenting around their digit runs
+    (r"[0-9a-fA-F]{8,}", "H"),
+    # remaining digit runs
+    (r"[0-9]+", "N"),
+    # mixed alphanumeric tokens: a letter run interleaved with ≥2 digit runs
+    # (now literal N placeholders) — catches base32/base64-ish session ids
+    # that aren't pure hex, while single-N tokens (host0, v2) keep their
+    # letter identity and pure words are never touched
+    (r"[A-Za-z]*(?:N[A-Za-z]*){2,}", "B"),
+)
+
+
 def url_pattern_col(url: Column) -> Column:
-    """URL → template: digit runs → ``N``, then 8+-char lowercase-hex runs
-    (session ids, content digests) → ``H``.  Order matters — digits are
-    hex too, so the digit collapse runs first and ``H`` only catches runs
-    that still look like hex after it."""
-    no_digits = F.regexp_replace(url, r"[0-9]+", "N")
-    return F.regexp_replace(no_digits, r"[a-f]{8,}", "H")
+    """URL → template via :data:`PATTERN_RULES`: dashed UUIDs → ``U``,
+    %-encoded runs → ``P``, 8+-char hex runs (any case, digits included) →
+    ``H``, digit runs → ``N``, and letter runs interleaved with ≥2 collapsed
+    digit runs (base64-ish ids) → ``B``.  Rule order matters and is part of
+    the template contract — the DuckDB oracle replays the same chain."""
+    out = url
+    for pat, repl in PATTERN_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
 
 
 def url_pattern_profile(

@@ -475,9 +475,58 @@ def test_url_pattern_collapses_digits_and_hex(spark):
     got = [r["p"] for r in df.select(url_pattern_col(F.col("u")).alias("p")).collect()]
     assert got == [
         "https://h.example/doc/N?p=N",
-        "https://h.example/s/HN/x",
+        "https://h.example/s/H/x",  # mixed digit/letter hex collapses wholesale
         "https://h.example/plain",
     ]
+
+
+def test_url_pattern_hardened_id_families(spark):
+    """Uppercase session ids, %-encoded runs, dashed UUIDs, and base64-ish
+    mixed tokens must each collapse to ONE template — these are the id
+    families that previously escaped (each id a distinct pattern, defeating
+    the trap profile)."""
+    from crawler_engine_spark.frontier.traps import url_pattern_col
+
+    groups = {
+        # uppercase hex session ids (;JSESSIONID=...)
+        "jsession": [
+            f"https://h.example/cart;JSESSIONID={h}" for h in
+            ("ABCDEF0123456789", "CAFEBABE00DEFACE", "0123ABCD4567EF89")
+        ],
+        # percent-encoded calendar params
+        "pct": [
+            f"https://h.example/cal?d=%2F{m}%2F2024%2F" for m in
+            ("01%2F02", "03%2F04", "11%2F30")
+        ],
+        # dashed UUIDs
+        "uuid": [
+            f"https://h.example/item/{u}" for u in (
+                "123e4567-e89b-12d3-a456-426614174000",
+                "DEADBEEF-CAFE-BABE-FACE-0123456789AB",
+                "00000000-1111-2222-3333-444455556666",
+            )
+        ],
+        # base64ish mixed-alphanumeric tokens (not pure hex)
+        "b64": [
+            f"https://h.example/t/{t}" for t in
+            ("dGhpcyBpc3Q1MnRva2Vu42xyz", "QWxhZGRpbjJvcGVuNHNlc2FtZQ",
+             "U2Vzc2lvbjc4OXRva2VuMTIz")
+        ],
+    }
+    for name, urls in groups.items():
+        df = spark.createDataFrame([(u,) for u in urls], "u string")
+        pats = {
+            r["p"]
+            for r in df.select(url_pattern_col(F.col("u")).alias("p")).collect()
+        }
+        assert len(pats) == 1, f"{name}: {pats}"
+    # pure words and single-digit-run tokens keep their identity
+    df = spark.createDataFrame(
+        [("https://h.example/about-us",), ("https://h.example/v2/api",)],
+        "u string",
+    )
+    got = [r["p"] for r in df.select(url_pattern_col(F.col("u")).alias("p")).collect()]
+    assert got == ["https://h.example/about-us", "https://h.example/vN/api"]
 
 
 def test_trap_profile_flags_only_exploding_patterns(spark):
