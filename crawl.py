@@ -105,10 +105,31 @@ def cmd_crawl(args) -> None:
             bloom_bits_per_segment=cfg.bloom_bits_per_segment,
             mode=cfg.mode,
             extract_opts=cfg.extract_opts,
+            trap_threshold=(
+                args.trap_threshold
+                if args.trap_threshold is not None
+                else cfg.trap_threshold
+            ),
+            trap_keep_per_pattern=(
+                args.trap_keep
+                if args.trap_keep is not None
+                else cfg.trap_keep_per_pattern
+            ),
         ),
     )
     if engine.last_committed() < 0:
-        if args.seeds.endswith(".csv"):
+        if args.sitemap_seeds:
+            # sitemap bootstrap: robots.txt rows of the page store →
+            # Sitemap: directives → fetch-simulated sitemap XML → seeds
+            from crawler_engine_spark.frontier.sitemaps import (
+                discover_seeds_from_page_store,
+            )
+
+            pages = spark.read.parquet(args.pages)
+            seeds = discover_seeds_from_page_store(pages, query=args.query)
+        elif args.seeds is None:
+            raise SystemExit("crawl: provide --seeds or --sitemap-seeds")
+        elif args.seeds.endswith(".csv"):
             seeds_pdf = pd.read_csv(args.seeds)
             if "seed_rank" not in seeds_pdf:
                 seeds_pdf["seed_rank"] = range(len(seeds_pdf))
@@ -298,6 +319,8 @@ CRAWL_NUM_SALTS=8
 CRAWL_BLOOM_PARTITIONS=32
 CRAWL_BLOOM_BITS=1048576
 CRAWL_MAX_ROUNDS=100
+CRAWL_TRAP_THRESHOLD=0
+CRAWL_TRAP_KEEP=100
 """
 
 
@@ -375,11 +398,21 @@ def main() -> None:
 
     pc = sub.add_parser("crawl", help="run crawl rounds over a page store")
     pc.add_argument("--pages", required=True)
-    pc.add_argument("--seeds", required=True, help="csv or parquet with url[,seed_rank,query]")
+    pc.add_argument("--seeds", help="csv or parquet with url[,seed_rank,query]")
+    pc.add_argument("--sitemap-seeds", action="store_true",
+                    help="bootstrap the seed frontier from the page store's "
+                         "robots.txt Sitemap: directives + sitemap XML "
+                         "instead of --seeds")
+    pc.add_argument("--query", help="extraction query attached to sitemap seeds")
     pc.add_argument("--state", required=True)
     pc.add_argument("--robots", help="parquet with host,disallow_prefixes,crawl_delay_s")
     pc.add_argument("--rounds", type=int, default=5)
     pc.add_argument("--round-seconds", type=float)
+    pc.add_argument("--trap-threshold", type=int,
+                    help="flag (host, URL-template) families with this many "
+                         "distinct frontier URLs as crawl traps (0 disables)")
+    pc.add_argument("--trap-keep", type=int,
+                    help="URLs sampled from each flagged trap template")
     pc.add_argument("--config", help="yaml/json config file (overrides env)")
     pc.set_defaults(fn=cmd_crawl)
 

@@ -56,6 +56,9 @@ class EngineConfig:
     bloom_partitions: int = 32
     bloom_bits_per_segment: int = 1 << 20
     max_rounds: int = 100
+    # Crawl-trap guard (frontier/traps.py); 0 disables
+    trap_threshold: int = 0
+    trap_keep_per_pattern: int = 100
 
     # Extraction (ExtractionConfig analogs, models/config.py:110-147)
     mode: str | None = None  # None → adaptive ("adaptive always wins")
@@ -87,6 +90,8 @@ class EngineConfig:
             bloom_partitions=_env_int("CRAWL_BLOOM_PARTITIONS", 32),
             bloom_bits_per_segment=_env_int("CRAWL_BLOOM_BITS", 1 << 20),
             max_rounds=_env_int("CRAWL_MAX_ROUNDS", 100),
+            trap_threshold=_env_int("CRAWL_TRAP_THRESHOLD", 0),
+            trap_keep_per_pattern=_env_int("CRAWL_TRAP_KEEP", 100),
             mode=mode,
             extract_opts=opts,
         )
@@ -103,6 +108,7 @@ class EngineConfig:
     _CRAWL_KEYS = (
         "round_seconds", "num_salts", "bloom_partitions",
         "bloom_bits_per_segment", "max_rounds",
+        "trap_threshold", "trap_keep_per_pattern",
     )
 
     @classmethod

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F
 from ..kernels.extract import DEFAULT_OPTIONS, ExtractOptions
 from ..operators import urlops
 from ..operators.extraction import extract_pages
-from . import politeness
+from . import politeness, traps
 from .bloom import BloomSeenSet
 
 FRONTIER_SCHEMA = (
@@ -81,6 +81,13 @@ class CrawlConfig:
     # the no-false-negative contract; exactness always rests on the exact
     # anti-join either way.
     seen_filter: str = "bloom"
+    # Crawl-trap guard (frontier/traps.py): flag any (host, URL-template)
+    # whose next-frontier distinct-URL count reaches trap_threshold and keep
+    # only the trap_keep_per_pattern lowest-hash URLs from it.  0 disables —
+    # the default, because the threshold is corpus-relative (10^4 is noise at
+    # the 10^10 design point, a whole site at toy scale).
+    trap_threshold: int = 0
+    trap_keep_per_pattern: int = 100
 
 
 class CrawlEngine:
@@ -583,6 +590,32 @@ class CrawlEngine:
                 survivors.select(*cols).withColumn("origin", F.lit("discovered"))
             )
         )
+
+        # 7b. crawl-trap guard: profile the next frontier's (host, template)
+        # explosion counts and sample flagged templates down BEFORE the
+        # frontier is persisted — a calendar/session-id trap discovered this
+        # round must not snowball into round k+1's politeness/novelty work.
+        # The profile is one map-side-combined aggregation; its flagged set
+        # is template-cardinality (checkpointed, counted for the commit
+        # record, then broadcast by prune_traps).
+        n_trap_patterns = 0
+        if self.cfg.trap_threshold > 0:
+            suspects = (
+                traps.url_pattern_profile(
+                    next_frontier, threshold=self.cfg.trap_threshold
+                )
+                .where("trap_suspect")
+                .select("host", "url_pattern")
+                .localCheckpoint(eager=True)
+            )
+            n_trap_patterns = suspects.count()
+            if n_trap_patterns:
+                next_frontier = traps.prune_traps(
+                    next_frontier,
+                    threshold=self.cfg.trap_threshold,
+                    keep_per_pattern=self.cfg.trap_keep_per_pattern,
+                    suspects=suspects,
+                )
         next_frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
 
         # 8. seen delta: everything attempted this round + robots-blocked.
@@ -679,6 +712,9 @@ class CrawlEngine:
             # them here (atomically with the round) is what makes expire()
             # crash-safe — an uncommitted round simply re-consumes them
             "consumed_requeue": pending_requeue,
+            # (host, template) pairs the trap guard flagged and sampled this
+            # round (0 when the guard is disabled or nothing exploded)
+            "trap_patterns": n_trap_patterns,
         }
         selected.unpersist()
         batch.unpersist()

@@ -87,6 +87,45 @@ def expand_sitemaps(df: DataFrame, xml_col: str = "xml") -> DataFrame:
     )
 
 
+def discover_seeds_from_page_store(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    query: str | None = None,
+    max_index_depth: int = 2,
+) -> DataFrame:
+    """Full sitemap bootstrap against a fetch-simulated page store:
+    ``/robots.txt`` rows → ``Sitemap:`` directives → fetch-simulate each
+    sitemap URL (join against the page store, the engine's ``page.goto``
+    analog) → expand ``<sitemapindex>`` documents up to ``max_index_depth``
+    levels → :func:`seeds_from_sitemaps` over all leaf ``<urlset>`` XML.
+
+    Returns ``(url, seed_rank, query)`` ready for
+    ``CrawlEngine.init_from_seeds``.  Sitemap URLs missing from the page
+    store simply join to nothing (a real fetch 404), and the index-expansion
+    loop is bounded — index cycles cannot hang the bootstrap.  Each level is
+    one broadcast-able join of a (tiny) sitemap-URL set against the page
+    store; no Python UDF anywhere."""
+    body = F.col(html_col).cast("string")
+    sm_urls = sitemap_urls_from_robots(pages, url_col, html_col).select(
+        "sitemap_url"
+    )
+    xml_all = None
+    for _ in range(max_index_depth + 1):
+        xml = (
+            sm_urls.join(pages, sm_urls.sitemap_url == F.col(url_col))
+            .select(body.alias("xml"))
+        )
+        xml_all = xml if xml_all is None else xml_all.unionByName(xml)
+        sm_urls = (
+            expand_sitemaps(xml)
+            .where("is_index")
+            .select(F.col("loc").alias("sitemap_url"))
+            .distinct()
+        )
+    return seeds_from_sitemaps(xml_all, query=query)
+
+
 def seeds_from_sitemaps(
     df: DataFrame, xml_col: str = "xml", query: str | None = None
 ) -> DataFrame:

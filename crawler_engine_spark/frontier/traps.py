@@ -96,18 +96,27 @@ def prune_traps(
     url_col: str = "canonical_url",
     threshold: int = DEFAULT_TRAP_THRESHOLD,
     keep_per_pattern: int = 100,
+    suspects: DataFrame | None = None,
 ) -> DataFrame:
     """Frontier minus trap-pattern URLs, sampling ``keep_per_pattern``
     lowest-``xxhash64`` URLs from each flagged pattern (deterministic, no
     ordering dependence).  Columns of ``frontier`` pass through unchanged.
 
     The flagged set is (host, pattern)-cardinality — broadcast it; the
-    top-k window runs only over rows that joined a flagged pattern."""
-    suspects = (
-        url_pattern_profile(frontier, url_col, threshold)
-        .where("trap_suspect")
-        .select("host", "url_pattern")
-    )
+    top-k window runs only over rows that joined a flagged pattern.
+
+    ``suspects`` lets a caller that already profiled the frontier (e.g.
+    ``CrawlEngine.run_round``, which also counts the flagged templates for
+    its commit record) pass the flagged ``(host, url_pattern)`` set in
+    instead of paying a second profiling pass."""
+    if suspects is None:
+        suspects = (
+            url_pattern_profile(frontier, url_col, threshold)
+            .where("trap_suspect")
+            .select("host", "url_pattern")
+        )
+    else:
+        suspects = suspects.select("host", "url_pattern")
     keyed = frontier.withColumn(
         "_host", host_col(F.col(url_col))
     ).withColumn("_pat", url_pattern_col(F.col(url_col)))

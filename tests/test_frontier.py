@@ -639,6 +639,124 @@ def test_sitemap_seeds_drive_crawl_engine(spark, tmp_path):
     assert rec is not None and rec["fetched"] == 5
 
 
+def _page(links):
+    body = "<p>Enough prose content for the extractor to call this a page "
+    body += "with words words words words words words words words.</p>"
+    body += "".join(f'<a href="{u}">link</a>' for u in links)
+    return f"<html><body>{body}</body></html>".encode()
+
+
+def test_engine_trap_guard_bounds_exploding_host(spark, tmp_path):
+    """Engine-loop trap wiring: a host whose pages mint unbounded /doc/<id>
+    links explodes the frontier in round 1; with trap_threshold set the
+    committed frontiers stay bounded at keep_per_pattern and the commit
+    records surface the flagged template count.  The guard-off engine on
+    the same store keeps all 60."""
+    pages_path = str(tmp_path / "pages")
+    rows = [
+        (
+            "https://trap.example/start",
+            _page([f"https://trap.example/doc/{i}" for i in range(60)]),
+        )
+    ] + [
+        # each doc page mints 3 more (non-existent) doc links — an
+        # unbounded template family, like a calendar or session-id trap
+        (
+            f"https://trap.example/doc/{i}",
+            _page([f"https://trap.example/doc/{1000 + i * 10 + j}" for j in range(3)]),
+        )
+        for i in range(60)
+    ]
+    spark.createDataFrame(rows, "url string, html binary").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(pages_path)
+    robots = spark.createDataFrame(
+        [], "host string, disallow_prefixes array<string>, crawl_delay_s double"
+    )
+    seeds = spark.createDataFrame(
+        [("https://trap.example/start", 0, None)],
+        "url string, seed_rank int, query string",
+    )
+
+    def run(state, threshold):
+        eng = CrawlEngine(
+            spark,
+            state_dir=str(tmp_path / state),
+            pages_path=pages_path,
+            robots=robots,
+            config=CrawlConfig(
+                round_seconds=1000.0, bloom_partitions=8,
+                bloom_bits_per_segment=1 << 16,
+                trap_threshold=threshold, trap_keep_per_pattern=5,
+            ),
+        )
+        eng.init_from_seeds(seeds)
+        return eng.run(max_rounds=4)
+
+    guarded = run("state_guarded", 12)
+    # round 1: 60 discovered doc URLs hit the template profile → 1 flagged
+    # template, frontier sampled down to keep_per_pattern
+    assert guarded[0]["trap_patterns"] == 1
+    assert guarded[0]["frontier_size"] == 5
+    # round 2: the 5 kept pages mint 15 fresh doc URLs ≥ threshold → flagged
+    # again; the round-3 frontier stays bounded instead of snowballing
+    assert guarded[1]["trap_patterns"] == 1
+    assert guarded[1]["frontier_size"] == 5
+    assert guarded[-1]["total_fetched"] <= 1 + 5 + 5 + 5
+
+    unguarded = run("state_unguarded", 0)
+    assert unguarded[0]["trap_patterns"] == 0
+    assert unguarded[0]["frontier_size"] == 60  # no guard → full explosion
+
+
+def test_crawl_bootstraps_from_sitemap_xml(spark, tmp_path):
+    """A crawl started purely from sitemap XML: robots.txt Sitemap:
+    directive → sitemap-index → leaf urlset → seeds → round 1 fetches
+    exactly the sitemap's pages (discover_seeds_from_page_store, the
+    crawl.py --sitemap-seeds path)."""
+    from crawler_engine_spark.frontier.sitemaps import (
+        discover_seeds_from_page_store,
+    )
+
+    content_urls = [f"https://s.example/page/{w}" for w in ("alpha", "beta", "gamma")]
+    leaf = "<urlset>" + "".join(
+        f"<url><loc>{u}</loc></url>" for u in content_urls
+    ) + "</urlset>"
+    index = (
+        "<sitemapindex><sitemap><loc>https://s.example/leaf.xml</loc>"
+        "</sitemap></sitemapindex>"
+    )
+    rows = [
+        ("https://s.example/robots.txt",
+         b"User-agent: *\nSitemap: https://s.example/sitemap_index.xml\n"),
+        ("https://s.example/sitemap_index.xml", index.encode()),
+        ("https://s.example/leaf.xml", leaf.encode()),
+    ] + [(u, _page([])) for u in content_urls]
+    pages_path = str(tmp_path / "pages")
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    pages.write.mode("overwrite").parquet(pages_path)
+
+    seeds = discover_seeds_from_page_store(spark.read.parquet(pages_path))
+    assert {r["url"] for r in seeds.collect()} == set(content_urls)
+
+    robots = spark.createDataFrame(
+        [], "host string, disallow_prefixes array<string>, crawl_delay_s double"
+    )
+    eng = CrawlEngine(
+        spark,
+        state_dir=str(tmp_path / "state"),
+        pages_path=pages_path,
+        robots=robots,
+        config=CrawlConfig(round_seconds=1000.0, bloom_partitions=8,
+                           bloom_bits_per_segment=1 << 16),
+    )
+    eng.init_from_seeds(seeds)
+    rec = eng.run_round(1)
+    assert rec is not None and rec["fetched"] == 3
+    fetched = {r["canonical_url"] for r in eng.fetched_log().collect()}
+    assert fetched == set(content_urls)
+
+
 def test_sitemap_discovery_from_robots(spark):
     """Sitemap: directives (any case, CRLF, outside agent groups) →
     (host, sitemap_url); non-robots pages ignored."""
