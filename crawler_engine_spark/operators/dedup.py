@@ -739,6 +739,44 @@ def embedding_bucket_col(emb: Column, dim: int, n_planes: int = 8, seed: int = 4
     return bucket
 
 
+def embedding_banded(
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    dim: int,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """``(_id, band, bucket)`` banded projection over ``n_tables``
+    INDEPENDENT hyperplane sign-pattern tables — the OR-construction that
+    minhash banding uses (:func:`minhash_banded`), applied to angular LSH.
+
+    One table of ``k`` planes collides a pair at angle θ with probability
+    ``(1-θ/π)^k`` — at the 0.95-cosine threshold (θ≈18°) that is ≈0.43 for
+    k=8, i.e. a single band MISSES more than half the true near-dups.
+    OR-ing ``L`` tables lifts recall to ``1-(1-p)^L`` ≈ 0.99 for L=8 while
+    the exact verify keeps precision exact.  All ``n_tables × n_planes``
+    dot products are JVM ``aggregate``/``zip_with`` expressions in one
+    projection; the explode fans out map-side."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        embedding_bucket_col(
+                            F.col(emb_col), dim, n_planes, seed=seed + 7919 * t
+                        ).cast("long").alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     emb_col: str,
@@ -746,20 +784,40 @@ def embedding_near_dup_pairs(
     dim: int,
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Cosine near-duplicates: hyperplane-bucket join, exact cosine verify."""
-    withb = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(emb_col).alias("_emb"),
-        embedding_bucket_col(F.col(emb_col), dim, n_planes).alias("_bucket"),
+    """Cosine near-duplicates: multi-table hyperplane-bucket candidate join
+    (OR-construction, see :func:`embedding_banded`), candidate pairs
+    deduplicated across tables, then exact cosine verify.  ``n_tables=1``
+    reproduces the old single-band behavior (recall ≈0.43 at threshold
+    0.95 — kept only as the degenerate case; the default eight tables
+    reach ≈0.99, locked by test_embedding_lsh_multitable_recall).
+    ``max_bucket_size`` caps degenerate buckets exactly like the MinHash
+    path (:func:`_cap_buckets`)."""
+    banded = embedding_banded(df, emb_col, id_col, dim, n_planes, n_tables)
+    # the self-join would evaluate all n_tables×n_planes dot products on
+    # both sides — materialize the (id, band, bucket) projection once
+    banded = _cap_buckets(banded, max_bucket_size).localCheckpoint(eager=False)
+    pairs = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l._id") < F.col("r._id")),
+        )
+        .select(F.col("l._id").alias("id_a"), F.col("r._id").alias("id_b"))
+        .distinct()
     )
-    a, b = withb.alias("a"), withb.alias("b")
+    emb = df.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
     return (
-        a.join(b, (F.col("a._bucket") == F.col("b._bucket")) & (F.col("a._id") < F.col("b._id")))
+        pairs.join(emb.alias("ea"), F.col("id_a") == F.col("ea._id"))
+        .join(emb.alias("eb"), F.col("id_b") == F.col("eb._id"))
         .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            cosine_col(F.col("a._emb"), F.col("b._emb")).alias("cosine"),
+            "id_a",
+            "id_b",
+            cosine_col(F.col("ea._emb"), F.col("eb._emb")).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
     )

@@ -104,6 +104,46 @@ def test_embedding_near_dup(spark):
     assert [(r["id_a"], r["id_b"]) for r in got.collect()] == [(1, 2)]
 
 
+def test_embedding_lsh_multitable_recall(spark):
+    """The production recall case the exact-path oracle can't see: 150
+    synthetic near-dup pairs at cosine ∈ [0.95, 0.98].  One 8-plane band
+    collides such a pair with probability (1-θ/π)^8 ≈ 0.4-0.55 — it loses
+    roughly half the corpus's true near-dups; the 8-table OR-construction
+    must recover ≥ 0.9 (expected ≈ 0.99) with zero false positives after
+    the exact verify."""
+    rng = np.random.RandomState(1234)
+    dim, n_pairs = 32, 150
+    rows = []
+    for i in range(n_pairs):
+        v = rng.randn(dim)
+        v /= np.linalg.norm(v)
+        c = rng.uniform(0.952, 0.98)  # margin above the 0.95 verify threshold
+        u = rng.randn(dim)
+        u -= u.dot(v) * v
+        u /= np.linalg.norm(u)
+        w = c * v + np.sqrt(1 - c * c) * u
+        rows.append((i, v.tolist()))
+        rows.append((10_000 + i, w.tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    truth = {(i, 10_000 + i) for i in range(n_pairs)}
+
+    def recall(n_tables):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.embedding_near_dup_pairs(
+                df, "embedding", "vec_id", dim=dim, threshold=0.95,
+                n_tables=n_tables,
+            ).collect()
+        }
+        assert got <= truth  # exact verify ⇒ no false positives
+        return len(got & truth) / n_pairs
+
+    single = recall(1)
+    multi = recall(8)
+    assert single < 0.8, f"single band unexpectedly strong: {single}"
+    assert multi >= 0.9, f"multi-table recall too low: {multi}"
+
+
 # -------------------------------------------------------------- similarity
 
 
