@@ -17,6 +17,7 @@ numpy.  Each operator is designed for the 100 TB regime:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from typing import Iterator, List
 
 import numpy as np
@@ -156,13 +157,25 @@ def _minhash_batch(
     return pd.Series(out)
 
 
+#: Observability hook: set to a ``SparkContext.accumulator(0)`` and every
+#: MinHash UDF *constructed afterwards* adds the number of documents it
+#: signs (the accumulator rides the UDF closure to the workers).  This is
+#: how test_lsh_index_skips_old_side_signatures proves the persisted-index
+#: ingest path re-signs zero old-side documents.  None (the default) keeps
+#: the kernel hook-free.
+MINHASH_CALL_COUNTER = None
+
+
 def make_minhash_udf(num_perm: int = 64, shingle_n: int = 3, seed: int = 42):
     """Arrow-batched numpy MinHash over the shared kernel body."""
     a, b = _minhash_params(num_perm, seed)
+    counter = MINHASH_CALL_COUNTER  # captured at construction, serialized
 
     @pandas_udf(T.ArrayType(T.LongType()))
     def minhash(texts: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in texts:
+            if counter is not None:
+                counter.add(len(batch))
             yield _minhash_batch(batch, a, b, shingle_n)
 
     return minhash
@@ -352,29 +365,124 @@ def minhash_dedup(
 # --------------------------------------------------------------------------
 
 
+#: on-disk layout version of write_lsh_index
+LSH_INDEX_FORMAT_VERSION = 1
+
+
+@dataclass
+class LshIndex:
+    """A snapshot's persisted dedup index: its banded MinHash projection
+    (``_id, band, bucket``), its distinct content digests, and the
+    signature parameters both were computed with.  Produced by
+    :func:`read_lsh_index`; consumed by :func:`incremental_new_docs` via
+    ``old_index=`` so successive ingest batches never recompute the old
+    side's signatures (at the 100 TB design point the old side is the
+    whole corpus — re-signing it per batch would dominate every ingest)."""
+
+    banded: DataFrame
+    digests: DataFrame
+    params: dict
+
+
+def write_lsh_index(
+    df: DataFrame,
+    path: str,
+    text_col: str,
+    id_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> dict:
+    """Persist a snapshot's dedup index under ``path``: ``banded/`` (the
+    MinHash banded projection — signature work paid exactly once per
+    snapshot), ``digests/`` (distinct md5 digests for the exact-dup
+    anti-join), and an ``_INDEX`` marker with the parameters, written LAST
+    so a crash mid-write leaves no readable index.  Buckets are stored
+    uncapped — ``max_bucket_size`` is a query-time policy, applied by the
+    consumer."""
+    import json
+    import os
+
+    banded = minhash_banded(df, text_col, id_col, num_perm, bands, shingle_n)
+    banded.write.mode("overwrite").parquet(os.path.join(path, "banded"))
+    (
+        df.select(F.md5(F.col(text_col)).alias("_digest"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "digests"))
+    )
+    params = {
+        "format_version": LSH_INDEX_FORMAT_VERSION,
+        "num_perm": num_perm,
+        "bands": bands,
+        "shingle_n": shingle_n,
+        "id_col": id_col,
+    }
+    with open(os.path.join(path, "_INDEX"), "w") as f:
+        json.dump(params, f)
+    return params
+
+
+def read_lsh_index(spark, path: str) -> LshIndex:
+    """Load an index written by :func:`write_lsh_index` (fails fast on a
+    missing marker or an incompatible layout version)."""
+    import json
+    import os
+
+    marker = os.path.join(path, "_INDEX")
+    if not os.path.exists(marker):
+        raise FileNotFoundError(
+            f"{path!r} has no _INDEX marker — not a written LSH index "
+            "(or a write crashed before committing)"
+        )
+    with open(marker) as f:
+        params = json.load(f)
+    if params.get("format_version") != LSH_INDEX_FORMAT_VERSION:
+        raise RuntimeError(
+            f"LSH index at {path!r} has format {params.get('format_version')!r}; "
+            f"this reader supports {LSH_INDEX_FORMAT_VERSION}"
+        )
+    return LshIndex(
+        banded=spark.read.parquet(os.path.join(path, "banded")),
+        digests=spark.read.parquet(os.path.join(path, "digests")),
+        params=params,
+    )
+
+
 def cross_snapshot_candidates(
     new_df: DataFrame,
-    old_df: DataFrame,
+    old_df: DataFrame | None,
     text_col: str,
     id_col: str,
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket_size: int | None = None,
+    old_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs BETWEEN two snapshots — never new×new or
     old×old: each side is banded independently and the join is a plain
     (band, bucket) equi-join across sides.  This is the incremental-ingest
-    shape: the old side's banded projection is a persistable index (write
-    it once per snapshot, reuse for every new batch), so the marginal cost
-    of a new batch is its own signatures + one shuffle join.
+    shape: pass ``old_banded`` (e.g. ``read_lsh_index(...).banded``) to
+    reuse a persisted old-side projection, making the marginal cost of a
+    new batch its own signatures + one shuffle join — the old side is
+    then only SCANNED, never re-signed (plan-locked by
+    test_lsh_index_skips_old_side_signatures).
 
     Bucket caps apply per side (a degenerate bucket is degenerate on its
     own side already); returns (id_new, id_old), distinct."""
     nb = minhash_banded(new_df, text_col, id_col, num_perm, bands, shingle_n)
-    ob = minhash_banded(old_df, text_col, id_col, num_perm, bands, shingle_n)
     nb = _cap_buckets(nb, max_bucket_size).localCheckpoint(eager=False)
-    ob = _cap_buckets(ob, max_bucket_size).localCheckpoint(eager=False)
+    if old_banded is None:
+        if old_df is None:
+            raise ValueError("provide old_df or old_banded")
+        ob = minhash_banded(old_df, text_col, id_col, num_perm, bands, shingle_n)
+        # the self-join would evaluate the signature UDF twice; checkpoint
+        ob = _cap_buckets(ob, max_bucket_size).localCheckpoint(eager=False)
+    else:
+        # a persisted index is a plain parquet scan — no UDF to protect, and
+        # caching a corpus-sized projection in executor memory would hurt
+        ob = _cap_buckets(old_banded, max_bucket_size)
     return (
         nb.alias("n")
         .join(
@@ -431,6 +539,7 @@ def incremental_new_docs(
     num_perm: int = 64,
     bands: int = 16,
     max_bucket_size: int | None = None,
+    old_index: LshIndex | None = None,
 ) -> DataFrame:
     """The snapshot-over-snapshot ingest filter: rows of ``new_df`` that
     are neither exact duplicates (same md5 digest) nor near duplicates
@@ -439,15 +548,39 @@ def incremental_new_docs(
     Two stages, cheapest first: the exact anti-join on the digest removes
     byte-identical re-crawls before any signature work; only the survivors
     pay for MinHash.  Within-new duplicates are intentionally kept — run
-    minhash_dedup on the result if the new batch needs internal dedup too
-    (keeping the stages separate lets the caller persist the old-side LSH
-    index across batches)."""
+    minhash_dedup on the result if the new batch needs internal dedup too.
+
+    ``old_index`` (from :func:`write_lsh_index` / :func:`read_lsh_index`)
+    supplies the old side's digests and banded projection pre-computed:
+    every ingest batch then reuses one snapshot-time signature pass, and
+    ``old_df`` is touched only to attach texts to the (candidate-sized)
+    verify join.  The index's signature parameters override this call's
+    ``num_perm``/``bands`` — they are baked into the stored projection.
+
+    Recall bound (inherent to LSH candidates vs the exhaustive oracle): a
+    pair at Jaccard J survives banding with probability 1-(1-J^r)^b,
+    r = num_perm/bands.  At the defaults (r=4, b=16) a pair just over
+    J=0.5 is missed with probability ≈ 0.63 — the defaults target
+    J ≥ 0.8, where the miss probability is ≈ 2e-4 and falls another ~30×
+    by J=0.9.  Raise ``bands`` (smaller r) to push recall toward lower J
+    at the cost of more candidate pairs."""
+    if old_index is not None:
+        num_perm = old_index.params["num_perm"]
+        bands = old_index.params["bands"]
+        old_digests = old_index.digests
+    else:
+        old_digests = old_df.select(
+            F.md5(F.col(text_col)).alias("_digest")
+        ).distinct()
     new_d = new_df.withColumn("_digest", F.md5(F.col(text_col)))
-    old_digests = old_df.select(F.md5(F.col(text_col)).alias("_digest")).distinct()
     survivors = new_d.join(old_digests, "_digest", "left_anti").drop("_digest")
     cand = cross_snapshot_candidates(
         survivors, old_df, text_col, id_col, num_perm, bands,
+        shingle_n=(
+            old_index.params["shingle_n"] if old_index is not None else 3
+        ),
         max_bucket_size=max_bucket_size,
+        old_banded=old_index.banded if old_index is not None else None,
     )
     near = verify_jaccard_cross(
         cand, survivors, old_df, text_col, id_col, threshold

@@ -262,6 +262,75 @@ def test_incremental_new_docs_semantics(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [5, 7]
 
 
+def test_lsh_index_skips_old_side_signatures(spark, tmp_path):
+    """Two successive ingest batches against ONE written index: results
+    match the recompute path exactly, and the plan proves the old side is
+    never re-signed — with the index, exactly one `minhash` UDF node (the
+    new side) appears; the recompute path has two."""
+    from crawler_engine_spark.operators import dedup
+
+    old = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "lsh_index")
+    dedup.write_lsh_index(old, idx_path, "text", "doc_id", num_perm=64, bands=32)
+    idx = dedup.read_lsh_index(spark, idx_path)
+    assert idx.params["num_perm"] == 64 and idx.params["bands"] == 32
+
+    batches = [
+        spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact
+                (5, "completely different words appear in this document"),
+            ],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [
+                (3, "one two three four five six seven eight nine extra"),  # near
+                (9, "yet another entirely unrelated batch two document here"),
+            ],
+            "doc_id long, text string",
+        ),
+    ]
+    # per batch: surviving ids after the final near-dup filter, and how many
+    # docs survive the DIGEST anti-join (only those pay for signatures —
+    # batch 1's doc 1 is an exact dup and is dropped before any signing)
+    expected = [([5], 1), ([9], 2)]
+    for new, (want, n_signed) in zip(batches, expected):
+        # UDF-call counter: rides the minhash closure to the workers
+        acc = spark.sparkContext.accumulator(0)
+        dedup.MINHASH_CALL_COUNTER = acc
+        try:
+            via_index = dedup.incremental_new_docs(
+                new, old, "text", "doc_id", threshold=0.5, old_index=idx
+            )
+            assert sorted(r["doc_id"] for r in via_index.collect()) == want
+            # zero old-side signature recomputation: only the new batch's
+            # digest-surviving docs sign
+            assert acc.value == n_signed, acc.value
+
+            acc2 = spark.sparkContext.accumulator(0)
+            dedup.MINHASH_CALL_COUNTER = acc2
+            recomputed = dedup.incremental_new_docs(
+                new, old, "text", "doc_id", threshold=0.5, num_perm=64, bands=32
+            )
+            assert sorted(r["doc_id"] for r in recomputed.collect()) == want
+            assert acc2.value == n_signed + old.count()  # old side re-signed
+        finally:
+            dedup.MINHASH_CALL_COUNTER = None
+
+    # an unreadable / uncommitted index fails fast
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        dedup.read_lsh_index(spark, str(tmp_path / "nope"))
+
+
 def test_cross_snapshot_candidates_never_pair_within_side(spark):
     from crawler_engine_spark.operators import dedup
 
