@@ -284,8 +284,48 @@ def stratified_sample_counts(
     )
 
 
+def _rank_hash_col(id_col: str) -> Column:
+    """The stratum-ranking hash: leading 15 hex digits of md5(id), uniform
+    in [0, 16^15)."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+
+
+_RANK_HASH_MAX = float(16**15)
+
+
+def _capped_prefiltered(
+    docs: DataFrame, id_col: str, strata: list[str], cap: int, giant_factor: int
+) -> DataFrame:
+    """``docs`` plus ``_cap_n`` (stratum size for giant strata, else null),
+    with giant strata pre-filtered to rows whose ranking hash falls below
+    a threshold sized to keep ≈ ``giant_factor·cap + 16`` rows — a certain
+    SUPERSET of the true top-``cap`` whenever ≥ cap rows survive (the
+    prefilter is a prefix of the exact ranking order, so it can only cut
+    rows ranked past everything it keeps).  Exposed for the reducer-bound
+    test; callers use :func:`capped_sample`."""
+    counts = docs.groupBy(*strata).agg(F.count("*").alias("_cap_n"))
+    giants = counts.where(F.col("_cap_n") > F.lit(giant_factor) * F.lit(cap))
+    joined = docs.join(F.broadcast(giants), strata, "left")
+    # expected survivors per giant: giant_factor·cap + 16 (the constant
+    # keeps the miss probability ≈ e^-(gf·cap+16-cap) negligible at cap=1)
+    thresh = F.ceil(
+        F.lit(_RANK_HASH_MAX)
+        * (F.lit(giant_factor) * F.lit(cap) + F.lit(16))
+        / F.col("_cap_n")
+    ).cast("long")
+    return joined.where(
+        F.col("_cap_n").isNull() | (_rank_hash_col(id_col) < thresh)
+    )
+
+
 def capped_sample(
-    docs: DataFrame, id_col: str, strata: list[str], cap: int
+    docs: DataFrame,
+    id_col: str,
+    strata: list[str],
+    cap: int,
+    giant_factor: int = 8,
 ) -> DataFrame:
     """Corpus rebalancing: keep at most ``cap`` rows per stratum (domain,
     language, source...), chosen deterministically — rank rows inside each
@@ -293,22 +333,43 @@ def capped_sample(
     order makes the selection an unbiased, rerun-stable sample rather than
     'whatever sorted first'.
 
-    One window over the stratum key; a hot stratum concentrates in one
-    reducer, but only rows OF that stratum — at 10^10 rows cap the damage
-    by pre-filtering with an approximate per-stratum count and sampling the
-    giants with hash_keep_col first (two cheap aggregations) before the
-    exact ranking."""
-    h = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
+    Giant-stratum guard: the ranking window concentrates each stratum in
+    one reducer, so a billion-row stratum would serialize.  Strata larger
+    than ``giant_factor·cap`` are first cut to the rows whose ranking hash
+    lies below ``(giant_factor·cap+16)/n`` of the hash space — one
+    map-side-combined count aggregation plus a broadcast of the (few)
+    giant strata; the window then ranks ≤ ~``giant_factor·cap`` rows per
+    stratum regardless of input skew (locked by
+    test_capped_sample_giant_stratum_bounded).  Because the prefilter is a
+    prefix of the exact ranking order, the output is IDENTICAL to the
+    unguarded window; if the Bernoulli tail ever leaves a giant stratum
+    with < cap survivors the plan raises instead of silently returning a
+    short sample (raise ``giant_factor`` in that astronomically unlikely
+    event)."""
     from pyspark.sql import Window
 
+    pre = _capped_prefiltered(docs, id_col, strata, cap, giant_factor)
+    h = _rank_hash_col(id_col)
     w = Window.partitionBy(*strata).orderBy(h.asc(), F.col(id_col).asc())
-    return (
-        docs.withColumn("_rk", F.row_number().over(w))
+    wc = Window.partitionBy(*strata)
+    capped = (
+        pre.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= cap)
-        .drop("_rk")
     )
+    # in-plan exactness check: a giant stratum (n > gf·cap ≥ cap) must
+    # yield exactly cap rows; fewer means the prefilter cut too deep.  The
+    # count window reuses the ranking window's partitioning (no extra
+    # shuffle) over the already-capped rows.
+    guarded = capped.withColumn("_cnt", F.count("*").over(wc)).where(
+        F.assert_true(
+            F.col("_cap_n").isNull() | (F.col("_cnt") == cap),
+            F.lit(
+                "capped_sample: giant-stratum prefilter left fewer than "
+                "cap rows — raise giant_factor"
+            ),
+        ).isNull()
+    )
+    return guarded.select(*docs.columns)
 
 
 # --------------------------------------------------------------------------

@@ -412,6 +412,43 @@ def test_capped_sample_binds_and_is_stable(spark):
     assert corpusops.capped_sample(small, "doc_id", ["stratum"], cap=5).count() == 2
 
 
+def test_capped_sample_giant_stratum_bounded(spark):
+    """The hot-stratum guard (mirror of the salted-politeness reducer-bound
+    test): a 200k-row stratum must reach the ranking window pre-cut to
+    ~giant_factor·cap rows, and the guarded output must equal the plain
+    unguarded window's selection exactly."""
+    from pyspark.sql import Window
+
+    rows = [(i, "hot" if i < 200_000 else "cold") for i in range(200_050)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    cap, gf = 10, 8
+
+    pre = corpusops._capped_prefiltered(df, "doc_id", ["stratum"], cap, gf)
+    per_stratum = {
+        r["stratum"]: r["n"]
+        for r in pre.groupBy("stratum").agg(F.count("*").alias("n")).collect()
+    }
+    # expected survivors ≈ gf·cap + 16 = 96; bound the reducer at 4× that
+    assert per_stratum["hot"] <= 4 * (gf * cap + 16), per_stratum
+    assert per_stratum["hot"] >= cap  # superset certificate holds
+    assert per_stratum["cold"] == 50  # non-giant strata untouched
+
+    got = sorted(
+        r["doc_id"]
+        for r in corpusops.capped_sample(df, "doc_id", ["stratum"], cap, gf).collect()
+    )
+    # unguarded reference: the plain window over the full input
+    h = corpusops._rank_hash_col("doc_id")
+    w = Window.partitionBy("stratum").orderBy(h.asc(), F.col("doc_id").asc())
+    want = sorted(
+        r["doc_id"]
+        for r in df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= cap)
+        .collect()
+    )
+    assert got == want and len(got) == 2 * cap
+
+
 # --------------------------------------------------------------------------
 # CLI corpus funnel
 # --------------------------------------------------------------------------
