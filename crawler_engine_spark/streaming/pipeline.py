@@ -100,18 +100,39 @@ def stream_exact_dedup(
     out_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
+    within_watermark: str | None = None,
 ):
     """Stateful streaming exact dedup: one output row per distinct content
-    digest across ALL micro-batches (state = the digest set, carried in the
-    streaming state store; re-crawled identical pages in later batches are
-    dropped).  The batch twin is groupBy(digest).min(url) — the stream
-    keeps the first-seen arrival instead, so only the digest set (not the
-    surviving url) is deterministic under partition races; downstream
-    consumers key on the digest."""
+    digest (state = the digest set, carried in the streaming state store;
+    re-crawled identical pages in later batches are dropped).  The batch
+    twin is groupBy(digest).min(url) — the stream keeps the first-seen
+    arrival instead, so only the digest set (not the surviving url) is
+    deterministic under partition races; downstream consumers key on the
+    digest.
+
+    State growth: the default (``within_watermark=None``) keeps one state
+    row per distinct digest FOREVER — exact global dedup, sized for
+    ``availableNow`` backlog catch-up runs where the state store holds at
+    most the drained corpus's digest set (~48 B/row; 10^9 digests ≈ 48 GB
+    across the cluster's state stores).  A true continuous deployment at
+    crawl scale should pass ``within_watermark`` (e.g. ``"24 hours"``):
+    the stream then uses ``dropDuplicatesWithinWatermark`` on ``warc_ts``,
+    which guarantees dedup of duplicates arriving within the watermark
+    delay of each other and lets the store evict older digests — state is
+    bounded by the horizon's digest arrival rate instead of corpus
+    cardinality.  Re-crawls separated by more than the horizon may
+    re-emit; pair with a periodic batch ``exact_dedup`` over the sink (the
+    standard stream-bounds-state / batch-restores-exactness split)."""
     pages = read_pages_stream(spark, pages_dir)
     hashed = pages.select(
         F.md5(F.col("text")).alias("digest"), "url", "warc_ts"
-    ).dropDuplicates(["digest"])
+    )
+    if within_watermark is not None:
+        hashed = hashed.withWatermark(
+            "warc_ts", within_watermark
+        ).dropDuplicatesWithinWatermark(["digest"])
+    else:
+        hashed = hashed.dropDuplicates(["digest"])
     writer = (
         hashed.writeStream.format("parquet")
         .option("path", out_dir)

@@ -569,3 +569,32 @@ def test_stream_exact_dedup_digest_set_matches_batch(spark, tmp_path):
     # stream emitted exactly one row per digest despite the duplicate batch
     n_rows = spark.read.parquet(str(tmp_path / "out")).count()
     assert n_rows == len(want)
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """The bounded-state continuous-mode variant: duplicates arriving
+    within the watermark horizon are dropped just like the unbounded
+    path, and the plan carries the watermark + within-watermark dedup
+    operator (evictable state) instead of plain dropDuplicates."""
+    from crawler_engine_spark.data.gen import gen_pages_df
+    from crawler_engine_spark.streaming.pipeline import stream_exact_dedup
+
+    pages_dir = str(tmp_path / "pages")
+    base = gen_pages_df(spark, 20, partitions=2)
+    base.write.parquet(pages_dir)
+    base.write.mode("append").parquet(pages_dir)  # in-horizon recrawl
+
+    q = stream_exact_dedup(
+        spark, pages_dir, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        within_watermark="1 hour",
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    want = spark.read.parquet(pages_dir).select(
+        F.md5("text").alias("digest")
+    ).distinct().count()
+    assert out.count() == want
+    # the state operator is the within-watermark variant
+    lp = q.lastProgress
+    ops = [o["operatorName"] for o in lp["stateOperators"]]
+    assert ops == ["dedupeWithinWatermark"], ops
