@@ -282,3 +282,24 @@ def test_corpusops_plans(spark):
 
     p = _plan(corpusops.chunk_dedup(docs, "text", "doc_id"))
     assert "SinglePartition" not in p and "NestedLoop" not in p
+
+
+def test_jvm_agg_catalog_queries_keep_partial_agg_first(spark):
+    """pricing_summary / revenue_by_segment (the _t(parallel=False)
+    queries): the partial HashAggregate must sit directly on the scan side
+    — no RoundRobinPartitioning exchange of raw rows before it — and the
+    join pipeline must broadcast the small dimensions, not shuffle
+    lineitem."""
+    import __spark_entry__ as entry_mod
+
+    sf = "/root/testdata/sf0.001"
+    q = entry_mod.queries()
+
+    plan = _plan(q["pricing_summary"](spark, sf))
+    assert "RoundRobinPartitioning" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+    plan = _plan(q["revenue_by_segment"](spark, sf))
+    assert "RoundRobinPartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
