@@ -174,6 +174,22 @@ def cmd_expire(args) -> None:
     spark.stop()
 
 
+def cmd_index(args) -> None:
+    """Build a snapshot's persistable dedup index (banded MinHash
+    projection + content digests): the signature work a later
+    `corpus --ops incremental` ingest then never repeats."""
+    from crawler_engine_spark.operators import dedup
+
+    spark = get_spark("crawl-index")
+    df = spark.read.parquet(args.docs)
+    params = dedup.write_lsh_index(
+        df, args.out, args.text_col, args.id_col,
+        num_perm=args.num_perm, bands=args.bands,
+    )
+    print(json.dumps({"command": "index", "out": args.out, **params}))
+    spark.stop()
+
+
 def cmd_corpus(args) -> None:
     """Corpus-prep funnel over a parquet of documents: the --ops list runs
     in the order given, each stage reporting its surviving row count —
@@ -216,6 +232,22 @@ def cmd_corpus(args) -> None:
         elif op == "near_dedup":
             df = dedup.minhash_dedup(
                 df, text_col, id_col, threshold=args.jaccard, method="cc"
+            )
+        elif op == "incremental":
+            # snapshot-over-snapshot ingest: keep only rows that are neither
+            # exact nor near duplicates of the old corpus; with --old-index
+            # the old side is never re-signed (crawl.py index writes one)
+            if not args.old_docs:
+                raise SystemExit("corpus op 'incremental' needs --old-docs")
+            old_df = spark.read.parquet(args.old_docs)
+            idx = (
+                dedup.read_lsh_index(spark, args.old_index)
+                if args.old_index
+                else None
+            )
+            df = dedup.incremental_new_docs(
+                df, old_df, text_col, id_col, threshold=args.jaccard,
+                old_index=idx,
             )
         elif op == "chunk_dedup":
             cleaned = corpusops.chunk_dedup(df, text_col, id_col).select(
@@ -434,7 +466,13 @@ def main() -> None:
     pco.add_argument("--out", required=True)
     pco.add_argument("--ops", default="lang,quality,exact_dedup,near_dedup,pii",
                      help="comma list, applied in order: lang quality gopher "
-                          "pii exact_dedup near_dedup chunk_dedup sample cap")
+                          "pii exact_dedup near_dedup incremental chunk_dedup "
+                          "sample cap")
+    pco.add_argument("--old-docs",
+                     help="previous-snapshot parquet for the 'incremental' op")
+    pco.add_argument("--old-index",
+                     help="LSH index dir written by `crawl.py index` for the "
+                          "old snapshot (skips re-signing it)")
     pco.add_argument("--id-col", default="doc_id")
     pco.add_argument("--text-col", default="text")
     pco.add_argument("--langs", default="en")
@@ -444,6 +482,17 @@ def main() -> None:
     pco.add_argument("--strata", default="lang")
     pco.add_argument("--cap", type=int, default=1000)
     pco.set_defaults(fn=cmd_corpus)
+
+    pix = sub.add_parser(
+        "index", help="build a persistable LSH dedup index for a snapshot"
+    )
+    pix.add_argument("--docs", required=True, help="parquet with id+text columns")
+    pix.add_argument("--out", required=True, help="index output directory")
+    pix.add_argument("--id-col", default="doc_id")
+    pix.add_argument("--text-col", default="text")
+    pix.add_argument("--num-perm", type=int, default=64)
+    pix.add_argument("--bands", type=int, default=16)
+    pix.set_defaults(fn=cmd_index)
 
     pint = sub.add_parser("interactive", help="interactive extraction loop")
     pint.add_argument("--pages", required=True)

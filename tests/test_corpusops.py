@@ -485,6 +485,54 @@ def test_cli_corpus_funnel(spark, tmp_path):
     assert "quality" in got.columns and "lang_pred" in got.columns
 
 
+def test_cli_index_then_incremental_ingest(spark, tmp_path):
+    """crawl.py index + corpus --ops incremental --old-index: the ingest
+    batch keeps only docs that are neither exact nor near dups of the old
+    snapshot, using the written index (no old-side re-signing)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    old = str(tmp_path / "old")
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(old)
+    new = str(tmp_path / "new")
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup
+            (3, "one two three four five six seven eight nine extra"),  # near
+            (5, "completely different words appear in this document"),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(new)
+    idx = str(tmp_path / "idx")
+    p1 = subprocess.run(
+        [sys.executable, os.path.join(repo, "crawl.py"), "index",
+         "--docs", old, "--out", idx, "--num-perm", "64", "--bands", "32"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p1.returncode == 0, p1.stderr[-2000:]
+    assert os.path.exists(os.path.join(idx, "_INDEX"))
+    out = str(tmp_path / "ingested")
+    p2 = subprocess.run(
+        [sys.executable, os.path.join(repo, "crawl.py"), "corpus",
+         "--docs", new, "--out", out, "--ops", "incremental",
+         "--old-docs", old, "--old-index", idx, "--jaccard", "0.5"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert p2.returncode == 0, p2.stderr[-2000:]
+    rec = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
+    assert rec["stats"] == {"input": 3, "incremental": 1}
+    assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [5]
+
+
 # --------------------------------------------------------------------------
 # Unicode normalization
 # --------------------------------------------------------------------------
