@@ -1100,6 +1100,82 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpusops.chunk_dedup(synth, "btext", "doc_id", chunk_tokens=10)
 
 
+_SPAM = "subscribe to our newsletter for updates every single day now"
+_VERSE = (
+    "the quick brown fox jumps over the lazy dog while pack my box "
+    "with five dozen liquor jugs today again"
+)
+
+
+def q_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped boilerplate removal (RefinedWeb/CCNet per-site line
+    rule): every doc gets a 10-token footer naming its own source; the
+    operator must strip it only where >=3 distinct docs of THAT source
+    share it (so small sources keep theirs), while unique prose and
+    cross-source coincidences survive."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id", "source",
+        F.concat_ws(
+            " ", F.lit("begin"), F.col("source"),
+            F.lit("boilerplate footer rights reserved contact legal team end"),
+            F.col("text"),
+        ).alias("btext"),
+    )
+    return corpusops.boilerplate_chunks(
+        synth, "btext", "doc_id", "source", chunk_tokens=10, min_docs=3
+    )
+
+
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus memorization audit (the sizing report before substring
+    dedup, Lee et al. 2022): one boilerplate phrase is planted on every
+    third doc and a spam phrase on every fifth; the operator must surface
+    their sliding 5-grams ranked by distinct-doc reach under a total
+    order, cut at top-100."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(_BOILER)),
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(_SPAM)),
+        ).alias("btext"),
+    )
+    return corpusops.duplicate_ngrams(
+        synth, "btext", "doc_id", n=5, min_docs=2, top_k=100
+    )
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc duplicated-span fraction (the doc-level substring-dedup
+    signal): two of every ten docs are replaced by one shared 20-token
+    verse (dup_fraction 1.0, dropped), every third doc carries a shared
+    10-token header (small fraction, kept), the rest depend only on
+    natural 8-gram collisions."""
+    from crawler_engine_spark.operators import corpusops
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 <= 1, F.lit(_VERSE))
+        .when(
+            F.col("doc_id") % 3 == 0,
+            F.concat_ws(" ", F.lit(_BOILER), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("btext"),
+    )
+    return corpusops.dup_span_stats(
+        synth, "btext", "doc_id", n=8, max_dup_fraction=0.5
+    )
+
+
 # --------------------------------------------------------------------------
 # Generated oracle SQL for the hashing kernels (the engine's md5-low64 base
 # hash is exactly CAST('0x' || substr(md5(s),1,16) AS UBIGINT) in DuckDB)
@@ -1320,6 +1396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "trap_detect": q_trap_detect,
         "sitemap_seeds": q_sitemap_seeds,
+        "boilerplate_chunks": q_boilerplate_chunks,
+        "dup_ngrams": q_dup_ngrams,
+        "dup_span_fraction": q_dup_span_fraction,
     }
 
 
@@ -2338,5 +2417,104 @@ def oracle_sql() -> dict[str, str]:
                        '&apos;', ''''), '&amp;', '&') AS raw_url
               FROM l)
         SELECT DISTINCT {_CANON_SQL} AS url FROM d
+    """
+    # boilerplate_chunks / dup_ngrams / dup_span_fraction: same whitespace
+    # tokenization as chunk_dedup; counts via COUNT (BIGINT, not HUGEINT).
+    oracles["boilerplate_chunks"] = rf"""
+        WITH synth AS (
+          SELECT doc_id, source,
+                 concat_ws(' ', 'begin', source,
+                   'boilerplate footer rights reserved contact legal team end',
+                   text) AS btext
+          FROM documents),
+        toks AS (
+          SELECT doc_id, source,
+                 list_filter(regexp_split_to_array(trim(btext), '\s+'),
+                             x -> x != '') AS w
+          FROM synth),
+        ch0 AS (
+          SELECT doc_id, source,
+                 unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS pos,
+                 unnest(list_transform(
+                   range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)),
+                   k -> array_to_string(w[(k*10+1):(k*10+10)], ' '))) AS chunk
+          FROM toks),
+        ch AS (SELECT * FROM ch0 WHERE chunk != ''),
+        bp AS (SELECT source, chunk FROM ch GROUP BY source, chunk
+               HAVING COUNT(DISTINCT doc_id) >= 3),
+        kept AS (
+          SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+          FROM ch
+          WHERE NOT EXISTS (SELECT 1 FROM bp
+                            WHERE bp.source = ch.source
+                              AND bp.chunk = ch.chunk)
+          GROUP BY doc_id),
+        tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+        SELECT d.doc_id, d.source,
+               CAST(COALESCE(t.n_chunks, 0) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(k.clean_text, '') AS clean_text
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN kept k USING (doc_id)
+    """
+    oracles["dup_ngrams"] = rf"""
+        WITH synth AS (
+          SELECT doc_id,
+                 concat_ws(' ',
+                   CASE WHEN doc_id % 3 = 0 THEN '{_BOILER}' END,
+                   text,
+                   CASE WHEN doc_id % 5 = 0 THEN '{_SPAM}' END) AS btext
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(btext), '\s+'),
+                             x -> x != '') AS w
+          FROM synth),
+        grams AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+                        k -> array_to_string(w[(k+1):(k+5)], ' '))) AS ngram
+          FROM toks)
+        SELECT ngram,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM grams GROUP BY ngram
+        HAVING COUNT(DISTINCT doc_id) >= 2
+        ORDER BY n_docs DESC, n_occurrences DESC, ngram ASC
+        LIMIT 100
+    """
+    oracles["dup_span_fraction"] = rf"""
+        WITH synth AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 <= 1 THEN '{_VERSE}'
+                      WHEN doc_id % 3 = 0
+                        THEN concat_ws(' ', '{_BOILER}', text)
+                      ELSE text END AS btext
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(btext), '\s+'),
+                             x -> x != '') AS w
+          FROM synth),
+        sp AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(0, greatest(len(w) - 7, 0)),
+                        k -> array_to_string(w[(k+1):(k+8)], ' '))) AS ngram
+          FROM toks),
+        dg AS (SELECT ngram, 1 AS isdup FROM sp GROUP BY ngram
+               HAVING COUNT(DISTINCT doc_id) >= 2),
+        perdoc AS (
+          SELECT sp.doc_id, COUNT(*) AS n_spans, COUNT(dg.isdup) AS n_dup
+          FROM sp LEFT JOIN dg USING (ngram) GROUP BY sp.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup,
+               COALESCE(ROUND(CAST(p.n_dup AS DOUBLE) / p.n_spans, 4),
+                        0.0) AS dup_fraction,
+               COALESCE(ROUND(CAST(p.n_dup AS DOUBLE) / p.n_spans, 4),
+                        0.0) <= 0.5 AS keep
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)
     """
     return oracles

@@ -78,6 +78,9 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "trap_detect",
     "sitemap_seeds",
+    "boilerplate_chunks",
+    "dup_ngrams",
+    "dup_span_fraction",
 ]
 
 

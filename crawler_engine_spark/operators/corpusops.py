@@ -494,3 +494,220 @@ def chunk_dedup(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Host-scoped boilerplate removal and duplicated-span analysis
+# --------------------------------------------------------------------------
+
+
+def sliding_ngrams(toks: Column, n: int) -> Column:
+    """Sliding word n-grams as space-joined strings (empty array when the
+    doc is shorter than ``n``).  The ``when`` guard matters: Spark's
+    ``sequence(0, size-n)`` DESCENDS when ``size < n`` instead of being
+    empty, which would fabricate negative-offset grams."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda k: F.concat_ws(" ", F.slice(toks, k + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _stride_chunks(docs: DataFrame, text_col: str, id_col: str,
+                   chunk_tokens: int, extra_cols: list[str] | None = None):
+    """(id[, extras], pos, chunk) rows: fixed-stride token chunks, the
+    CCNet unit shared by chunk_dedup and boilerplate_chunks.  Tokenizes in
+    its own projection so the transform lambda binds a materialized array,
+    not the split() expression (which would re-evaluate per chunk)."""
+    extras = [F.col(c) for c in (extra_cols or [])]
+    toked = docs.select(
+        F.col(id_col).alias("_id"), *extras,
+        ws_tokens(F.col(text_col)).alias("_toks"),
+    )
+    t = F.col("_toks")
+    n_chunks = F.ceil(F.size(t) / F.lit(chunk_tokens)).cast("int")
+    return toked.select(
+        "_id", *(extra_cols or []),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+                lambda k: F.concat_ws(
+                    " ", F.slice(t, k * chunk_tokens + 1, chunk_tokens)
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).where(F.col("chunk") != "")
+
+
+def boilerplate_chunks(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    chunk_tokens: int = 10,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Host-scoped boilerplate removal (the RefinedWeb/CCNet line-level
+    rule applied per site): a fixed-stride token chunk that occurs in at
+    least ``min_docs`` DISTINCT documents of the same ``group_col`` (host /
+    domain / source) is that site's boilerplate — navigation, footers,
+    cookie banners — and is stripped from every document of the group.
+    Unlike :func:`chunk_dedup` (corpus-global, count>1 removes both
+    copies), a chunk repeated within one document or shared by only two
+    documents survives, and an identical chunk on a DIFFERENT host is
+    judged independently — the per-site semantics of boilerplate.
+
+    Returns (id, group, n_chunks, n_kept, clean_text) per input doc.
+
+    Scale shape: chunks explode once; the boilerplate set is the result of
+    a map-side-combinable distinct-count keyed by (group, chunk) and is
+    tiny after the ``min_docs`` filter (boilerplate is, by definition, a
+    few chunks per host), so the removal is a broadcastable left-anti join
+    — AQE picks broadcast from the filtered size.  Reassembly is one
+    groupBy(doc).  At 10^10 docs, key the anti-join on xxhash64(group,
+    chunk) so the broadcast set is 8 B/row."""
+    chunked = _stride_chunks(docs, text_col, id_col, chunk_tokens,
+                             extra_cols=[group_col])
+    bp = (
+        chunked.groupBy(group_col, "chunk")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select(group_col, "chunk")
+    )
+    kept = (
+        chunked.join(bp, [group_col, "chunk"], "left_anti")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    totals = chunked.groupBy("_id").agg(F.count("*").alias("n_chunks"))
+    base = docs.select(F.col(id_col).alias("_id"),
+                       F.col(group_col).alias("_g"))
+    return (
+        base.join(totals, "_id", "left")
+        .join(kept, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_g").alias(group_col),
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def duplicate_ngrams(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+    top_k: int = 100,
+) -> DataFrame:
+    """Corpus memorization audit: the word n-grams that repeat across at
+    least ``min_docs`` distinct documents, ranked by reach — the
+    verbatim-duplication report a training-data pipeline runs before
+    substring dedup (Lee et al. 2022) to size the problem and catch
+    license banners / templated spam.
+
+    Returns the ``top_k`` rows (ngram, n_docs, n_occurrences) ordered by
+    (n_docs DESC, n_occurrences DESC, ngram ASC) — a total order, so the
+    cut is deterministic.
+
+    Scale shape: sliding grams explode once (n× amplification); the
+    groupBy partial-aggregates map-side (count and the distinct-doc
+    partial both combine before the exchange), and the top-k is
+    TakeOrderedAndProject — no global sort materializes.  At 10^10 docs
+    hash each gram to int64 first (8 B keys through the shuffle) and keep
+    a gram→hash sample for readback."""
+    toked = docs.select(
+        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    grams = toked.select(
+        "_id", F.explode(sliding_ngrams(F.col("_toks"), n)).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.countDistinct("_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.col("n_docs").desc(), F.col("n_occurrences").desc(),
+            F.col("ngram").asc(),
+        )
+        .limit(top_k)
+    )
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    max_dup_fraction: float = 0.5,
+) -> DataFrame:
+    """Per-document duplicated-span fraction — the doc-level signal of
+    substring dedup (Lee et al. 2022): for every sliding word ``n``-gram
+    position in a document, the span is *duplicated* when the same n-gram
+    occurs in at least one OTHER document; the fraction of duplicated
+    positions drives the keep/drop decision (docs that are mostly verbatim
+    copies of other docs score near 1.0).
+
+    Returns (id, n_spans, n_dup, dup_fraction, keep) per doc:
+    ``dup_fraction`` = round(n_dup / n_spans, 4) (0.0 when the doc is
+    shorter than ``n``); ``keep`` = dup_fraction <= ``max_dup_fraction``.
+
+    Scale shape: two shuffles — gram → distinct-doc count (map-side
+    combined), then counts join back to the exploded positions and
+    re-aggregate per doc.  The join side carrying counts only needs grams
+    with n_docs >= 2 (the rest default to unduplicated), which after
+    filtering is the duplication tail, not the corpus; at 10^10 docs join
+    on the gram's 64-bit hash."""
+    toked = docs.select(
+        F.col(id_col).alias("_id"), ws_tokens(F.col(text_col)).alias("_toks")
+    )
+    spans = toked.select(
+        "_id", F.explode(sliding_ngrams(F.col("_toks"), n)).alias("ngram")
+    )
+    dup_grams = (
+        spans.groupBy("ngram")
+        .agg(F.countDistinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("ngram")
+        .withColumn("_dup", F.lit(1))
+    )
+    per_doc = (
+        spans.join(dup_grams, "ngram", "left")
+        .groupBy("_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.coalesce(F.sum("_dup"), F.lit(0)).alias("n_dup"),
+        )
+    )
+    base = docs.select(F.col(id_col).alias("_id"))
+    frac = F.when(
+        F.col("n_spans") > 0,
+        F.round(F.col("n_dup") / F.col("n_spans"), 4),
+    ).otherwise(F.lit(0.0))
+    return (
+        base.join(per_doc, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup"),
+            frac.alias("dup_fraction"),
+        )
+        .withColumn("keep", F.col("dup_fraction") <= F.lit(max_dup_fraction))
+    )

@@ -646,3 +646,102 @@ def test_stream_exact_dedup_within_watermark(spark, tmp_path):
     lp = q.lastProgress
     ops = [o["operatorName"] for o in lp["stateOperators"]]
     assert ops == ["dedupeWithinWatermark"], ops
+
+
+# --------------------------------------------------------------------------
+# Host-scoped boilerplate removal / duplicated-span analysis
+# --------------------------------------------------------------------------
+
+
+def test_boilerplate_chunks_is_source_scoped(spark):
+    """A chunk shared by >=3 docs of ONE source is stripped there, but the
+    identical chunk on a 2-doc source survives — and a chunk repeated twice
+    inside a single doc is not boilerplate (distinct-doc count is 1)."""
+    from crawler_engine_spark.operators.corpusops import boilerplate_chunks
+
+    foot = "nav home about contact terms privacy login search help footer"
+    rows = [
+        (1, "a", f"{foot} alpha words one two three four five six seven"),
+        (2, "a", f"{foot} beta words one two three four five six eight"),
+        (3, "a", f"{foot} gamma words one two three four five six nine"),
+        (4, "b", f"{foot} delta words one two three four five six ten"),
+        (5, "b", f"{foot} epsilon words one two three four five six more"),
+        # doc 6: same 10-token chunk twice within ONE doc of source c
+        (6, "c", f"{foot} {foot}"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_chunks(
+            spark.createDataFrame(rows, "doc_id long, source string, text string"),
+            "text", "doc_id", "source", chunk_tokens=10, min_docs=3,
+        ).collect()
+    }
+    # source a (3 docs): footer chunk stripped, the prose chunk kept
+    for i in (1, 2, 3):
+        assert out[i]["n_chunks"] == 2 and out[i]["n_kept"] == 1
+        assert not out[i]["clean_text"].startswith("nav home")
+    # source b (2 docs < min_docs): footer survives
+    for i in (4, 5):
+        assert out[i]["n_kept"] == 2
+        assert out[i]["clean_text"].startswith("nav home")
+    # within-doc repetition alone is not boilerplate
+    assert out[6]["n_kept"] == 2 and out[6]["clean_text"] == f"{foot} {foot}"
+
+
+def test_duplicate_ngrams_total_order_and_short_docs(spark):
+    """Cross-doc 5-grams rank by (n_docs, n_occurrences, ngram); docs
+    shorter than n contribute nothing (the sequence() descending trap)."""
+    from crawler_engine_spark.operators.corpusops import duplicate_ngrams
+
+    meme = "all your base are belong"
+    rows = [
+        (1, f"{meme} to us {meme} to us"),  # meme twice in one doc
+        (2, f"{meme} to everyone here today"),
+        (3, f"{meme} to nobody in particular"),
+        (4, "tiny doc"),  # < 5 tokens: no grams at all
+        (5, "completely unrelated prose with many novel words inside"),
+    ]
+    got = duplicate_ngrams(
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        "text", "doc_id", n=5, min_docs=2, top_k=10,
+    ).collect()
+    assert got, "expected duplicated n-grams"
+    top = got[0]
+    assert top["ngram"] == meme
+    assert top["n_docs"] == 3 and top["n_occurrences"] == 4
+    # descending reach, ties broken by occurrences then lexicographic
+    keys = [(-r["n_docs"], -r["n_occurrences"], r["ngram"]) for r in got]
+    assert keys == sorted(keys)
+    assert all("tiny" not in r["ngram"] for r in got)
+
+
+def test_dup_span_stats_fractions_and_keep(spark):
+    """Exact per-doc duplicated-span fractions: full copies score 1.0 and
+    drop; partial overlap scores the exact window fraction; within-doc
+    repetition alone does not count as duplication; short docs get 0/0."""
+    from crawler_engine_spark.operators.corpusops import dup_span_stats
+
+    w = [f"w{i}" for i in range(16)]
+    full = " ".join(w)                      # 16 tokens -> 9 spans of 8
+    rows = [
+        (1, full),
+        (2, full),                          # exact copy of 1: all dup
+        (3, " ".join(w[:8]) + " x1 x2 x3 x4 x5 x6 x7 x8"),  # shares 1 span
+        (4, "too short for spans"),          # < 8 tokens
+        (5, "r1 r2 r3 r4 r5 r6 r7 r8 r1 r2 r3 r4 r5 r6 r7 r8"),  # self-rep
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dup_span_stats(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "text", "doc_id", n=8, max_dup_fraction=0.5,
+        ).collect()
+    }
+    assert out[1]["n_spans"] == 9 and out[1]["dup_fraction"] == 1.0
+    assert out[1]["keep"] is False and out[2]["keep"] is False
+    assert out[3]["n_spans"] == 9 and out[3]["n_dup"] == 1
+    assert out[3]["dup_fraction"] == round(1 / 9, 4) and out[3]["keep"] is True
+    assert out[4]["n_spans"] == 0 and out[4]["dup_fraction"] == 0.0
+    assert out[4]["keep"] is True
+    # doc 5 repeats its own 8-gram but no OTHER doc shares it
+    assert out[5]["n_dup"] == 0 and out[5]["keep"] is True
