@@ -1256,6 +1256,58 @@ def _simhash_sql() -> str:
     """
 
 
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-graph PageRank (fixed-point integer power iteration, 10
+    rounds) over a 300-node directed graph folded out of orders
+    (customer→order links) — the canonical crawl-priority signal.  The
+    integer arithmetic makes every iteration bit-exact under any
+    partitioning, which is what lets DuckDB replay all ten iterations."""
+    from crawler_engine_spark.operators import linkrank
+
+    o = _t(spark, sf_dir, "orders", parallel=False)
+    edges = o.select(
+        (F.col("o_custkey") % 300).cast("long").alias("src"),
+        (F.col("o_orderkey") % 300).cast("long").alias("dst"),
+    )
+    return linkrank.pagerank(edges, iterations=10)
+
+
+def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
+                  damping: int = 85) -> str:
+    """Replay every PageRank iteration in DuckDB: the same integer floor
+    divisions and long sums, unrolled as one CTE pair per iteration
+    (recursive CTEs can't re-aggregate the recursive term, so the fixed
+    iteration count is generated instead — the minhash-perms pattern)."""
+    head = f"""
+        WITH e AS (
+          SELECT DISTINCT CAST(o_custkey % 300 AS BIGINT) AS src,
+                          CAST(o_orderkey % 300 AS BIGINT) AS dst
+          FROM orders),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        consts AS (SELECT {scale} // COUNT(*) AS init,
+                          (15 * ({scale} // COUNT(*))) // 100 AS base
+                   FROM nodes),
+        r0 AS (SELECT node, (SELECT init FROM consts) AS r FROM nodes)"""
+    iters = "".join(
+        f""",
+        c{k} AS (SELECT e.dst AS node, SUM(r.r // od.od) AS contrib
+                 FROM e JOIN od USING (src)
+                 JOIN r{k - 1} r ON r.node = e.src
+                 GROUP BY e.dst),
+        r{k} AS (SELECT n.node,
+                        (SELECT base FROM consts)
+                        + ({damping} * COALESCE(c.contrib, 0)) // 100 AS r
+                 FROM nodes n LEFT JOIN c{k} c USING (node))"""
+        for k in range(1, iterations + 1)
+    )
+    return f"""{head}{iters}
+        SELECT node, CAST(r AS BIGINT) AS rank_micro,
+               ROUND(CAST(r AS DOUBLE) / {float(scale)}, 8) AS rank
+        FROM r{iterations}
+    """
+
+
 def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection (frontier guard): collapse each URL to its
     digit-template and profile distinct-URL counts per (host, template).
@@ -1399,6 +1451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_chunks": q_boilerplate_chunks,
         "dup_ngrams": q_dup_ngrams,
         "dup_span_fraction": q_dup_span_fraction,
+        "link_pagerank": q_link_pagerank,
     }
 
 
@@ -2517,4 +2570,5 @@ def oracle_sql() -> dict[str, str]:
                         0.0) <= 0.5 AS keep
         FROM documents d LEFT JOIN perdoc p USING (doc_id)
     """
+    oracles["link_pagerank"] = _pagerank_sql(iterations=10)
     return oracles

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "boilerplate_chunks",
     "dup_ngrams",
     "dup_span_fraction",
+    "link_pagerank",
 ]
 
 

@@ -115,6 +115,8 @@ def cmd_crawl(args) -> None:
                 if args.trap_keep is not None
                 else cfg.trap_keep_per_pattern
             ),
+            link_rank_budget=args.link_rank_budget or cfg.link_rank_budget,
+            link_rank_iterations=cfg.link_rank_iterations,
         ),
     )
     if engine.last_committed() < 0:
@@ -443,6 +445,10 @@ def main() -> None:
     pc.add_argument("--trap-threshold", type=int,
                     help="flag (host, URL-template) families with this many "
                          "distinct frontier URLs as crawl traps (0 disables)")
+    pc.add_argument("--link-rank-budget", action="store_true",
+                    help="PageRank the crawl's own host graph each round "
+                         "and scale politeness budgets by link authority "
+                         "(0.5x-2x, >=1 floor)")
     pc.add_argument("--trap-keep", type=int,
                     help="URLs sampled from each flagged trap template")
     pc.add_argument("--config", help="yaml/json config file (overrides env)")

@@ -59,6 +59,10 @@ class EngineConfig:
     # Crawl-trap guard (frontier/traps.py); 0 disables
     trap_threshold: int = 0
     trap_keep_per_pattern: int = 100
+    # PageRank budget feedback over the crawl's host graph
+    # (operators/linkrank.py, frontier/rounds.py step 1b)
+    link_rank_budget: bool = False
+    link_rank_iterations: int = 5
 
     # Extraction (ExtractionConfig analogs, models/config.py:110-147)
     mode: str | None = None  # None → adaptive ("adaptive always wins")
@@ -92,6 +96,8 @@ class EngineConfig:
             max_rounds=_env_int("CRAWL_MAX_ROUNDS", 100),
             trap_threshold=_env_int("CRAWL_TRAP_THRESHOLD", 0),
             trap_keep_per_pattern=_env_int("CRAWL_TRAP_KEEP", 100),
+            link_rank_budget=_env_bool("CRAWL_LINK_RANK", False),
+            link_rank_iterations=_env_int("CRAWL_LINK_RANK_ITERS", 5),
             mode=mode,
             extract_opts=opts,
         )
@@ -109,6 +115,7 @@ class EngineConfig:
         "round_seconds", "num_salts", "bloom_partitions",
         "bloom_bits_per_segment", "max_rounds",
         "trap_threshold", "trap_keep_per_pattern",
+        "link_rank_budget", "link_rank_iterations",
     )
 
     @classmethod

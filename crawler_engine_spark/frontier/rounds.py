@@ -88,6 +88,14 @@ class CrawlConfig:
     # the 10^10 design point, a whole site at toy scale).
     trap_threshold: int = 0
     trap_keep_per_pattern: int = 100
+    # Link-graph budget feedback (operators/linkrank.py): PageRank the
+    # crawl's own accumulated host→host link graph each round and scale
+    # every eligible host's politeness budget by its authority (0.5×–2×,
+    # ≥1 liveness floor) — well-linked hosts earn throughput, obscure ones
+    # are throttled, never starved.  Off by default: the signal needs ≥1
+    # committed round of discovered edges before it can bite.
+    link_rank_budget: bool = False
+    link_rank_iterations: int = 5
 
 
 class CrawlEngine:
@@ -495,6 +503,38 @@ class CrawlEngine:
         blocked = gated.where(~F.col("allowed")).select(*frontier.columns)
         eligible = gated.where(F.col("allowed"))
 
+        # 1b. link-rank budget feedback: PageRank over the host→host edges
+        # committed rounds accumulated (written in step 5b) rescales each
+        # eligible host's budget by link authority before batch selection.
+        # The edge files are distinct host pairs — host²-bounded metadata,
+        # and the eager rank table is host-cardinality (broadcast join).
+        # Politeness stays amortized: a >1× factor overdraws the host's
+        # token bucket (step 10 books actual fetches), so authority buys a
+        # burst, and the debt throttles the following rounds back to the
+        # robots-derived rate.
+        link_rank_applied = False
+        if self.cfg.link_rank_budget:
+            edge_dirs = [
+                d
+                for d in (
+                    os.path.join(self._round_dir(j), "host_edges")
+                    for j in self.committed_rounds()
+                )
+                if os.path.isdir(d)
+            ]
+            if edge_dirs:
+                from ..operators import linkrank
+
+                ranks = linkrank.pagerank(
+                    self.spark.read.parquet(*edge_dirs),
+                    src_col="src_host",
+                    dst_col="dst_host",
+                    iterations=self.cfg.link_rank_iterations,
+                    eager=True,
+                ).select(F.col("node").alias("host"), "rank_micro")
+                eligible = linkrank.apply_link_rank(eligible, ranks)
+                link_rank_applied = True
+
         # 2. politeness batch selection (salted two-phase window, W5)
         selected, remainder = politeness.select_batch(eligible, self.cfg.num_salts)
         selected = politeness.global_fetch_sequence(
@@ -558,6 +598,35 @@ class CrawlEngine:
             .withColumn("path", urlops.path_col(F.col("canonical_url")))
             .withColumn("query", F.lit(None).cast("string"))
         )
+
+        # 5b. host-graph delta for the link-rank feedback: distinct
+        # src_host→dst_host pairs discovered this round.  Derived from the
+        # SAME exploded links as the candidates but before their in-round
+        # min-priority dedup (which keeps one parent per URL and would drop
+        # cross-host co-citations); `selected` is the cached batch, so the
+        # fetch_seq→host join adds no new scan, and the distinct output is
+        # host²-bounded — tiny next to the results write it derives from.
+        if self.cfg.link_rank_budget:
+            host_edges = (
+                exploded.withColumn(
+                    "_c", urlops.canonical_url_col(F.col("raw_url"))
+                )
+                .where(urlops.is_valid_url_col(F.col("_c")))
+                .select(
+                    "fetch_seq", urlops.host_col(F.col("_c")).alias("dst_host")
+                )
+                .join(
+                    selected.select(
+                        "fetch_seq", F.col("host").alias("src_host")
+                    ),
+                    "fetch_seq",
+                )
+                .select("src_host", "dst_host")
+                .distinct()
+            )
+            host_edges.write.mode("overwrite").parquet(
+                os.path.join(rd, "host_edges")
+            )
 
         # 6. novelty: bloom pre-filter, exact anti-join only on maybe_seen (J1)
         prev_bloom = os.path.join(self._round_dir(k - 1), "bloom")
@@ -715,6 +784,9 @@ class CrawlEngine:
             # (host, template) pairs the trap guard flagged and sampled this
             # round (0 when the guard is disabled or nothing exploded)
             "trap_patterns": n_trap_patterns,
+            # whether PageRank budget feedback rescaled this round's host
+            # budgets (False until the first committed round writes edges)
+            "link_rank_applied": link_rank_applied,
         }
         selected.unpersist()
         batch.unpersist()

@@ -1,0 +1,173 @@
+"""Link-graph PageRank over the crawl's URL/host graph, plus the feedback
+hook that turns ranks into crawl-budget adjustments.
+
+Reference scope note: the reference engine (Daniel-Azil/crawler_engine)
+stops at extraction and has no link-graph tier; this module extends the
+frontier machinery (SURVEY §2.10) with the canonical web-scale priority
+signal.  Correctness authority is the DuckDB oracle in
+`__spark_entry__.py` (``link_pagerank``) plus the power-iteration test in
+``tests/test_linkrank.py``.
+
+Design for 100 TB:
+
+* **Fixed-point integer arithmetic.**  Ranks live in integer micro-units
+  (``scale`` = 1e12 by default), every contribution is an integer floor
+  division, and every combine is a long sum — bit-exact under any
+  partitioning, any aggregation order, and any executor count, which is
+  what makes a cross-engine oracle (and a re-run diff) possible at all.
+  Float PageRank differs in the last ulp between runs; this never does.
+* **One shuffle per iteration.**  ``contrib = edges ⋈ ranks`` shuffles on
+  the join key; the per-destination sum partial-aggregates map-side.  The
+  out-degree table is fused into the edge list once, up front.
+* **Bounded magnitudes.**  The total in-flight mass is at most ``scale``
+  (mass only leaks at dangling nodes), so per-node contributions and the
+  ``85 × contrib`` damping product stay far below int64 even at 10^10
+  nodes.  At that node count the default quantum (``scale // n``) gets
+  coarse — raise ``scale`` (int64 headroom allows 1e16).
+* **Reused tables are ``persist()``-ed, not checkpointed.**  ``nodes``
+  and the degree-fused edge list feed every iteration; caching them stops
+  the per-iteration source re-scan (no static ReusedExchange appears in
+  the unrolled plan), AQE coalesces the cached exchange, and — unlike
+  ``localCheckpoint``, whose blocks are unrecoverable on executor loss —
+  evicted cache blocks recompute from lineage.  Interleaved A/B at sf0.1
+  ×5: persist 1.28 s ≈ localCheckpoint 1.37 s ≈ none 1.40 s end-to-end
+  (the scan is trivial at sandbox scale; at 100 TB the re-scan isn't).
+* **Lineage cuts are opt-in.**  Spark's shuffle-output reuse already
+  evaluates each iteration once — lineage depth costs only scheduler /
+  optimizer time and failure-recovery depth, while ``localCheckpoint``
+  costs a real materialization per cut (measured 1.4 s → 29 s for 10
+  iterations on the sandbox when cutting every iteration).  For the
+  default 10 iterations the nested plan is cheap; pass
+  ``checkpoint_every`` (the connected-components pattern, dedup.py) for
+  long runs (≳20 iterations) or lossy executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 10,
+    scale: int = 10**12,
+    damping: int = 85,
+    checkpoint_every: int = 0,
+    eager: bool = False,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list (parallel edges
+    collapse; self-loops participate like any edge).
+
+    Semantics (all integer arithmetic, ``//`` = floor division):
+
+    * ``r0(v) = scale // n`` for every node (n = |nodes|)
+    * ``contrib_k(v) = Σ over in-edges (u,v) of r_k(u) // outdeg(u)``
+    * ``r_{k+1}(v) = (15 × (scale // n)) // 100
+      + (damping × contrib_k(v)) // 100``
+
+    Dangling nodes (no out-edges) leak their mass — the plain "no dangling
+    redistribution" variant, mirrored verbatim by the oracle.
+
+    ``checkpoint_every`` > 0 cuts lineage with ``localCheckpoint`` after
+    every that-many iterations (identical results; see module docstring
+    for when it pays).  ``eager`` materializes the result once and
+    releases the internal caches before returning — the engine-loop mode,
+    where the node-cardinality rank table is consumed more than once
+    within a round and per-call cache hygiene matters (a crawl calls this
+    every round).
+
+    Returns (node, rank_micro BIGINT, rank DOUBLE = round(micro/scale, 8)),
+    one row per distinct node.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_micro"),
+            F.lit(0.0).alias("rank"),
+        )
+    init = scale // n
+    base = (15 * init) // 100
+    outdeg = e.groupBy("src").agg(F.count("*").alias("_od"))
+    # out-degree fused into the edge list once; cached across iterations
+    esrc = e.join(outdeg, "src").persist()
+
+    ranks = nodes.select(F.col("node"), F.lit(init).cast("long").alias("r"))
+    for it in range(iterations):
+        contrib = (
+            esrc.join(ranks.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), F.expr("r div _od").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("_contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping} * coalesce(_contrib, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+        )
+        if checkpoint_every > 0 and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=False)
+    out = ranks.select(
+        "node",
+        F.col("r").alias("rank_micro"),
+        F.round(F.col("r") / F.lit(float(scale)), 8).alias("rank"),
+    )
+    if eager:
+        out = out.localCheckpoint(eager=True)
+        nodes.unpersist()
+        esrc.unpersist()
+    return out
+
+
+def apply_link_rank(
+    frontier: DataFrame,
+    ranks: DataFrame,
+    min_factor: float = 0.5,
+    max_factor: float = 2.0,
+) -> DataFrame:
+    """Scale each host's politeness ``host_budget`` by its link-graph
+    authority — the crawl-scheduling twin of
+    ``politeness.apply_host_reputation`` (corpus quality) with PageRank as
+    the signal: well-linked hosts earn budget, obscure hosts keep the ≥1
+    liveness floor.
+
+    ``ranks`` columns: host, rank_micro (the :func:`pagerank` output keyed
+    by host).  The factor interpolates linearly from ``min_factor`` (rank
+    0) to ``max_factor`` (the table's max rank); hosts absent from the
+    table rank 0.  The rank table is host-cardinality — a broadcast join,
+    shuffle-free on top of the existing budget column."""
+    mx = ranks.agg(F.max("rank_micro")).first()[0] or 1
+    rep = ranks.select("host", F.col("rank_micro").alias("_rm"))
+    norm = F.coalesce(F.col("_rm"), F.lit(0)).cast("double") / F.lit(float(mx))
+    factor = F.lit(min_factor) + (F.lit(max_factor) - F.lit(min_factor)) * norm
+    return (
+        frontier.join(F.broadcast(rep), on="host", how="left")
+        .withColumn(
+            "host_budget",
+            # round before flooring: IEEE products can land just below the
+            # mathematical value (the apply_host_reputation guard)
+            F.greatest(
+                F.lit(1), F.floor(F.round(F.col("host_budget") * factor, 6))
+            ).cast("int"),
+        )
+        .drop("_rm")
+    )

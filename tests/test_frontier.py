@@ -709,6 +709,65 @@ def test_engine_trap_guard_bounds_exploding_host(spark, tmp_path):
     assert unguarded[0]["frontier_size"] == 60  # no guard → full explosion
 
 
+def test_engine_link_rank_budget_prefers_authoritative_host(spark, tmp_path):
+    """Engine-loop PageRank feedback: six seed hosts all cite hub.example,
+    only one cites leaf.example.  With link_rank_budget on, round 2 ranks
+    the round-1 host graph and rescales budgets — the hub (table-max rank)
+    earns 2× the base budget while the leaf's interpolated factor floors
+    to the liveness budget; the control engine fetches both equally."""
+    pages_path = str(tmp_path / "pages")
+    hub = [f"https://hub.example/p{j}" for j in range(10)]
+    leaf = [f"https://leaf.example/p{j}" for j in range(10)]
+    rows = [(f"https://s{i}.example/", _page(hub)) for i in range(1, 6)]
+    rows.append(("https://s0.example/", _page(hub + leaf)))
+    rows += [(u, _page([])) for u in hub + leaf]
+    spark.createDataFrame(rows, "url string, html binary").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(pages_path)
+    robots = spark.createDataFrame(
+        [], "host string, disallow_prefixes array<string>, crawl_delay_s double"
+    )
+    seeds = spark.createDataFrame(
+        [(f"https://s{i}.example/", i, None) for i in range(6)],
+        "url string, seed_rank int, query string",
+    )
+
+    def run(state, feedback):
+        eng = CrawlEngine(
+            spark,
+            state_dir=str(tmp_path / state),
+            pages_path=pages_path,
+            robots=robots,
+            # round_seconds=1.0 at the default 0.5 s crawl delay → base
+            # budget 2 per host per round
+            config=CrawlConfig(
+                round_seconds=1.0, bloom_partitions=8,
+                bloom_bits_per_segment=1 << 16,
+                link_rank_budget=feedback,
+            ),
+        )
+        eng.init_from_seeds(seeds)
+        records = eng.run(max_rounds=2)
+        per_host = {
+            r["host"]: r["cnt"]
+            for r in eng.fetched_log().where("round = 2")
+            .groupBy("host").agg(F.count("*").alias("cnt")).collect()
+        }
+        return records, per_host
+
+    records, per_host = run("state_rank", True)
+    # round 1 has no accumulated edges yet; round 2 ranks and rescales
+    assert [r["link_rank_applied"] for r in records] == [False, True]
+    # hub rank is the table max → factor 2.0 → budget 4; leaf's factor
+    # 0.5 + 1.5·(r_leaf/r_hub) ≈ 0.88 floors to the liveness budget 1
+    assert per_host["hub.example"] == 4
+    assert per_host["leaf.example"] == 1
+
+    control, control_hosts = run("state_flat", False)
+    assert all(not r["link_rank_applied"] for r in control)
+    assert control_hosts["hub.example"] == control_hosts["leaf.example"] == 2
+
+
 def test_crawl_bootstraps_from_sitemap_xml(spark, tmp_path):
     """A crawl started purely from sitemap XML: robots.txt Sitemap:
     directive → sitemap-index → leaf urlset → seeds → round 1 fetches

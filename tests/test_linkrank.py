@@ -1,0 +1,109 @@
+"""PageRank: exactness against an independent pure-Python integer power
+iteration, structural sanity (hubs outrank leaves; dangling nodes leak),
+and the budget-feedback hook."""
+
+from pyspark.sql import functions as F
+
+from crawler_engine_spark.operators.linkrank import apply_link_rank, pagerank
+
+SCALE = 10**12
+
+
+def _py_pagerank(edges, iterations=10, scale=SCALE, damping=85):
+    """Independent replica: same integer semantics, plain dicts."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    n = len(nodes)
+    init = scale // n
+    base = (15 * init) // 100
+    od = {}
+    for u, _ in e:
+        od[u] = od.get(u, 0) + 1
+    r = {v: init for v in nodes}
+    for _ in range(iterations):
+        contrib = {}
+        for u, v in e:
+            contrib[v] = contrib.get(v, 0) + r[u] // od[u]
+        r = {v: base + (damping * contrib.get(v, 0)) // 100 for v in nodes}
+    return r
+
+
+def _mixed_graph():
+    # hub node 0 referenced by everyone; a chain; a dangling sink; a
+    # self-loop; parallel edge (1->0 twice) that must collapse
+    return [
+        (1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (1, 0),
+        (0, 1), (1, 2), (2, 3), (3, 4),
+        (5, 6),          # 6 is dangling (no out-edges): leaks mass
+        (7, 7), (7, 0),  # self-loop
+    ]
+
+
+def test_pagerank_matches_pure_python_exactly(spark):
+    edges = _mixed_graph()
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), iterations=10
+        ).collect()
+    }
+    want = _py_pagerank(edges, iterations=10)
+    assert got == want  # bit-exact, not approximately
+
+
+def test_pagerank_structure(spark):
+    edges = _mixed_graph()
+    df = pagerank(spark.createDataFrame(edges, "src long, dst long"))
+    rows = {r["node"]: r for r in df.collect()}
+    assert set(rows) == set(range(8))
+    # the hub out-ranks every leaf
+    hub = rows[0]["rank_micro"]
+    assert all(hub > rows[v]["rank_micro"] for v in (4, 5, 6, 7))
+    # mass leaks at the dangling sink: total < scale
+    assert sum(r["rank_micro"] for r in rows.values()) < SCALE
+    # rank column is micro/scale rounded
+    for r in rows.values():
+        assert r["rank"] == round(r["rank_micro"] / SCALE, 8)
+
+
+def test_pagerank_empty_and_null_edges(spark):
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df).count() == 0
+    withnull = spark.createDataFrame(
+        [(1, 2), (None, 3), (2, None)], "src long, dst long"
+    )
+    got = {r["node"] for r in pagerank(withnull).collect()}
+    assert got == {1, 2}  # null endpoints dropped entirely
+
+
+def test_apply_link_rank_scales_budgets(spark):
+    ranks = spark.createDataFrame(
+        [("big.example", 400_000), ("small.example", 0)],
+        "host string, rank_micro long",
+    )
+    frontier = spark.createDataFrame(
+        [("big.example", 10), ("small.example", 10), ("unknown.example", 10)],
+        "host string, host_budget int",
+    )
+    out = {
+        r["host"]: r["host_budget"]
+        for r in apply_link_rank(frontier, ranks).collect()
+    }
+    assert out["big.example"] == 20      # max rank -> 2.0x
+    assert out["small.example"] == 5     # rank 0 -> 0.5x
+    assert out["unknown.example"] == 5   # absent -> rank 0
+    # liveness floor
+    tiny = spark.createDataFrame(
+        [("small.example", 1)], "host string, host_budget int"
+    )
+    assert apply_link_rank(tiny, ranks).first()["host_budget"] == 1
+
+
+def test_pagerank_checkpoint_cadence_is_result_identical(spark):
+    edges = spark.createDataFrame(_mixed_graph(), "src long, dst long")
+    plain = {r["node"]: r["rank_micro"] for r in pagerank(edges).collect()}
+    cut = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, checkpoint_every=3).collect()
+    }
+    assert plain == cut

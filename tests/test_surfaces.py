@@ -189,11 +189,14 @@ def test_engine_config_from_env(monkeypatch):
     monkeypatch.setenv("INTELLIGENT_EXTRACTOR_EXTRACT_FORMS", "true")
     monkeypatch.setenv("INTELLIGENT_EXTRACTOR_STRATEGY", "semantic")
     monkeypatch.setenv("CRAWL_ROUND_SECONDS", "42")
+    monkeypatch.setenv("CRAWL_LINK_RANK", "true")
     cfg = EngineConfig.from_env()
     assert cfg.extract_opts.relevance_threshold == 0.4
     assert cfg.extract_opts.extract_forms is True
     assert cfg.mode == "semantic"
     assert cfg.round_seconds == 42.0
+    assert cfg.link_rank_budget is True
+    assert cfg.link_rank_iterations == 5
 
 
 def test_engine_config_file_overrides_env(monkeypatch, tmp_path):
