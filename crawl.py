@@ -117,6 +117,11 @@ def cmd_crawl(args) -> None:
             ),
             link_rank_budget=args.link_rank_budget or cfg.link_rank_budget,
             link_rank_iterations=cfg.link_rank_iterations,
+            link_rank_every=(
+                args.link_rank_every
+                if args.link_rank_every is not None
+                else cfg.link_rank_every
+            ),
         ),
     )
     if engine.last_committed() < 0:
@@ -449,6 +454,9 @@ def main() -> None:
                     help="PageRank the crawl's own host graph each round "
                          "and scale politeness budgets by link authority "
                          "(0.5x-2x, >=1 floor)")
+    pc.add_argument("--link-rank-every", type=int,
+                    help="recompute the rank table only every N rounds, "
+                         "reusing the written table in between (default 1)")
     pc.add_argument("--trap-keep", type=int,
                     help="URLs sampled from each flagged trap template")
     pc.add_argument("--config", help="yaml/json config file (overrides env)")

@@ -63,6 +63,7 @@ class EngineConfig:
     # (operators/linkrank.py, frontier/rounds.py step 1b)
     link_rank_budget: bool = False
     link_rank_iterations: int = 5
+    link_rank_every: int = 1
 
     # Extraction (ExtractionConfig analogs, models/config.py:110-147)
     mode: str | None = None  # None → adaptive ("adaptive always wins")
@@ -98,6 +99,7 @@ class EngineConfig:
             trap_keep_per_pattern=_env_int("CRAWL_TRAP_KEEP", 100),
             link_rank_budget=_env_bool("CRAWL_LINK_RANK", False),
             link_rank_iterations=_env_int("CRAWL_LINK_RANK_ITERS", 5),
+            link_rank_every=_env_int("CRAWL_LINK_RANK_EVERY", 1),
             mode=mode,
             extract_opts=opts,
         )
@@ -115,7 +117,7 @@ class EngineConfig:
         "round_seconds", "num_salts", "bloom_partitions",
         "bloom_bits_per_segment", "max_rounds",
         "trap_threshold", "trap_keep_per_pattern",
-        "link_rank_budget", "link_rank_iterations",
+        "link_rank_budget", "link_rank_iterations", "link_rank_every",
     )
 
     @classmethod

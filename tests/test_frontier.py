@@ -709,12 +709,9 @@ def test_engine_trap_guard_bounds_exploding_host(spark, tmp_path):
     assert unguarded[0]["frontier_size"] == 60  # no guard → full explosion
 
 
-def test_engine_link_rank_budget_prefers_authoritative_host(spark, tmp_path):
-    """Engine-loop PageRank feedback: six seed hosts all cite hub.example,
-    only one cites leaf.example.  With link_rank_budget on, round 2 ranks
-    the round-1 host graph and rescales budgets — the hub (table-max rank)
-    earns 2× the base budget while the leaf's interpolated factor floors
-    to the liveness budget; the control engine fetches both equally."""
+def _authority_corpus(spark, tmp_path):
+    """Page store + seeds where six seed hosts all cite hub.example but
+    only one cites leaf.example — hub PageRank ≫ leaf PageRank."""
     pages_path = str(tmp_path / "pages")
     hub = [f"https://hub.example/p{j}" for j in range(10)]
     leaf = [f"https://leaf.example/p{j}" for j in range(10)]
@@ -731,28 +728,45 @@ def test_engine_link_rank_budget_prefers_authoritative_host(spark, tmp_path):
         [(f"https://s{i}.example/", i, None) for i in range(6)],
         "url string, seed_rank int, query string",
     )
+    return pages_path, robots, seeds
+
+
+def _link_rank_crawl(spark, tmp_path, state, rounds, upto_round, **cfg_kwargs):
+    pages_path, robots, seeds = _authority_corpus(spark, tmp_path)
+    eng = CrawlEngine(
+        spark,
+        state_dir=str(tmp_path / state),
+        pages_path=pages_path,
+        robots=robots,
+        # round_seconds=1.0 at the default 0.5 s crawl delay → base
+        # budget 2 per host per round
+        config=CrawlConfig(
+            round_seconds=1.0, bloom_partitions=8,
+            bloom_bits_per_segment=1 << 16, **cfg_kwargs,
+        ),
+    )
+    eng.init_from_seeds(seeds)
+    records = eng.run(max_rounds=rounds)
+    per_host = {
+        r["host"]: r["cnt"]
+        for r in eng.fetched_log().where(f"round = {upto_round}")
+        .groupBy("host").agg(F.count("*").alias("cnt")).collect()
+    }
+    return eng, records, per_host
+
+
+def test_engine_link_rank_budget_prefers_authoritative_host(spark, tmp_path):
+    """Engine-loop PageRank feedback: with link_rank_budget on, round 2
+    ranks the round-1 host graph and rescales budgets — the hub
+    (table-max rank) earns 2× the base budget while the leaf's
+    interpolated factor floors to the liveness budget; the control engine
+    fetches both equally."""
 
     def run(state, feedback):
-        eng = CrawlEngine(
-            spark,
-            state_dir=str(tmp_path / state),
-            pages_path=pages_path,
-            robots=robots,
-            # round_seconds=1.0 at the default 0.5 s crawl delay → base
-            # budget 2 per host per round
-            config=CrawlConfig(
-                round_seconds=1.0, bloom_partitions=8,
-                bloom_bits_per_segment=1 << 16,
-                link_rank_budget=feedback,
-            ),
+        _, records, per_host = _link_rank_crawl(
+            spark, tmp_path, state, rounds=2, upto_round=2,
+            link_rank_budget=feedback,
         )
-        eng.init_from_seeds(seeds)
-        records = eng.run(max_rounds=2)
-        per_host = {
-            r["host"]: r["cnt"]
-            for r in eng.fetched_log().where("round = 2")
-            .groupBy("host").agg(F.count("*").alias("cnt")).collect()
-        }
         return records, per_host
 
     records, per_host = run("state_rank", True)
@@ -766,6 +780,25 @@ def test_engine_link_rank_budget_prefers_authoritative_host(spark, tmp_path):
     control, control_hosts = run("state_flat", False)
     assert all(not r["link_rank_applied"] for r in control)
     assert control_hosts["hub.example"] == control_hosts["leaf.example"] == 2
+
+
+def test_engine_link_rank_cadence_reuses_rank_table(spark, tmp_path):
+    """link_rank_every=2: round 2 computes and writes the rank table,
+    round 3 reuses it (applied without recomputation) — the cadence that
+    divides the feedback cost by N at scale.  Reuse still biases the
+    round-3 batch toward the authoritative host."""
+    eng, records, per_host = _link_rank_crawl(
+        spark, tmp_path, "state_cadence", rounds=3, upto_round=3,
+        link_rank_budget=True, link_rank_every=2,
+    )
+    assert [r["link_rank_applied"] for r in records] == [False, True, True]
+    assert [r["link_rank_recomputed"] for r in records] == [False, True, False]
+    # the table was written by round 2 only; round 3 read it back
+    assert os.path.isdir(eng._round_dir(2) + "/host_ranks")
+    assert not os.path.isdir(eng._round_dir(3) + "/host_ranks")
+    # round 3: hub repays round-2 bucket debt down to base budget 1 → ×2
+    # factor = 2 fetches; leaf stays at its liveness floor
+    assert per_host["hub.example"] > per_host["leaf.example"] == 1
 
 
 def test_crawl_bootstraps_from_sitemap_xml(spark, tmp_path):
