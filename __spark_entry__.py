@@ -1308,6 +1308,76 @@ def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
     """
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text corpus (linkrank.anchor_summary) over typed link arrays
+    extracted from synthesized per-source pages: a root-relative
+    /d/{id%7} anchor labeled by source (resolution against the source
+    authority) plus a shared absolute hub anchor with a rotating label
+    (20-host mega-target; top_k=3 caps its 5 labels).  The oracle replays
+    resolution, (target,text) counting, and the top-k ordering in SQL;
+    top_texts is serialized '|'-joined so both engines compare strings."""
+    from crawler_engine_spark.operators import linkrank
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><article><p>"),
+        F.col("text"),
+        F.lit('</p><a href="/d/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">'),
+        F.col("source"),
+        F.lit('</a><a href="https://hub.example/x">hub '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit("</a></article></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".docs.example/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    res = extract_pages(d.select(url.alias("url"), html.alias("html")),
+                        mode="structured")
+    out = linkrank.anchor_summary(res.select("url", "links"), top_k=3)
+    return out.select(
+        "target", "n_refs", "n_hosts",
+        F.concat_ws("|", "top_texts").alias("top_texts"),
+    )
+
+
+_ANCHOR_TEXTS_SQL = """
+    WITH anchors AS (
+      SELECT source || '.docs.example' AS src_host,
+             'https://' || source || '.docs.example/d/'
+               || CAST(doc_id % 7 AS VARCHAR) AS target,
+             source AS atext
+      FROM documents
+      UNION ALL
+      SELECT source || '.docs.example' AS src_host,
+             'https://hub.example/x' AS target,
+             'hub ' || CAST(doc_id % 5 AS VARCHAR) AS atext
+      FROM documents),
+    stats AS (
+      SELECT target, COUNT(*) AS n_refs,
+             COUNT(DISTINCT src_host) AS n_hosts
+      FROM anchors GROUP BY target),
+    tc AS (
+      SELECT target, atext, COUNT(*) AS cnt
+      FROM anchors WHERE atext IS NOT NULL AND atext <> ''
+      GROUP BY target, atext),
+    ranked AS (
+      SELECT target, atext,
+             ROW_NUMBER() OVER (PARTITION BY target
+                                ORDER BY cnt DESC, atext) AS r
+      FROM tc),
+    top AS (
+      SELECT target, STRING_AGG(atext, '|' ORDER BY r) AS top_texts
+      FROM ranked WHERE r <= 3 GROUP BY target)
+    SELECT s.target, CAST(s.n_refs AS BIGINT) AS n_refs,
+           CAST(s.n_hosts AS BIGINT) AS n_hosts,
+           COALESCE(t.top_texts, '') AS top_texts
+    FROM stats s LEFT JOIN top t USING (target)
+"""
+
+
 def q_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-trap detection (frontier guard): collapse each URL to its
     digit-template and profile distinct-URL counts per (host, template).
@@ -1452,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "dup_span_fraction": q_dup_span_fraction,
         "link_pagerank": q_link_pagerank,
+        "anchor_texts": q_anchor_texts,
     }
 
 
@@ -2571,4 +2642,5 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN perdoc p USING (doc_id)
     """
     oracles["link_pagerank"] = _pagerank_sql(iterations=10)
+    oracles["anchor_texts"] = _ANCHOR_TEXTS_SQL
     return oracles

@@ -44,8 +44,10 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from . import urlops
 
 
 def pagerank(
@@ -136,6 +138,96 @@ def pagerank(
         nodes.unpersist()
         esrc.unpersist()
     return out
+
+
+def anchor_summary(
+    pages: DataFrame,
+    url_col: str = "url",
+    links_col: str = "links",
+    top_k: int = 3,
+    num_salts: int = 8,
+) -> DataFrame:
+    """Anchor-text corpus over the typed ``links`` arrays (extraction
+    §2.9): how the web describes each target URL — the classic ranking /
+    training-data signal (anchor text ≈ a human-written label for the
+    target page).
+
+    Per canonical target URL: ``n_refs`` (anchor occurrences), ``n_hosts``
+    (distinct referring hosts), ``top_texts`` (the ``top_k`` most frequent
+    whitespace-normalized non-empty anchor texts, count-desc then
+    text-asc).
+
+    Href resolution is JVM-only: absolute ``http(s)`` hrefs, and
+    root-relative ``/path`` hrefs resolved against the source's scheme +
+    authority, are aggregated; other forms (relative paths, fragments,
+    mailto/js) are dropped — the typed array keeps hrefs raw (reference
+    parity, structured_strategy.py:224-246), and the crawl's out_links
+    kernel already does full urljoin for frontier purposes.
+
+    Scale shape: the (target, text) counts map-side combine before one
+    shuffle; the per-target top-k then runs ONLY over those pre-aggregated
+    distinct-text rows, as a salted two-phase window (the
+    politeness.select_batch argument — every global top-k row is a top-k
+    row of its own salt partition), so a mega-target with millions of
+    distinct anchor texts never serializes onto one reducer.  ``n_refs``
+    and ``n_hosts`` are ordinary partially-aggregated groupBys.
+    """
+    href = F.col("_l.href")
+    resolved = F.when(href.rlike("^https?://"), href).when(
+        href.startswith("/") & ~href.startswith("//"),
+        F.concat(
+            F.regexp_extract(F.col("_src"), r"^(https?://[^/?#]*)", 1), href
+        ),
+    )
+    text_norm = F.trim(F.regexp_replace(F.col("_l.text"), r"\s+", " "))
+    pairs = (
+        pages.select(
+            F.col(url_col).alias("_src"), F.explode(links_col).alias("_l")
+        )
+        .select(
+            urlops.canonical_url_col(resolved).alias("target"),
+            urlops.host_col(F.col("_src")).alias("src_host"),
+            F.when(text_norm != "", text_norm).alias("text"),
+        )
+        .where(urlops.is_valid_url_col(F.col("target")))
+    )
+    stats = pairs.groupBy("target").agg(
+        F.count("*").cast("long").alias("n_refs"),
+        F.countDistinct("src_host").cast("long").alias("n_hosts"),
+    )
+    tc = (
+        pairs.where(F.col("text").isNotNull())
+        .groupBy("target", "text")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    w1 = Window.partitionBy("target", "_salt").orderBy(
+        F.col("cnt").desc(), F.col("text")
+    )
+    w2 = Window.partitionBy("target").orderBy(F.col("cnt").desc(), F.col("text"))
+    top = (
+        tc.withColumn("_salt", F.pmod(F.xxhash64("text"), F.lit(num_salts)))
+        .withColumn("_r1", F.row_number().over(w1))
+        .where(F.col("_r1") <= top_k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .where(F.col("_r2") <= top_k)
+        .groupBy("target")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_r2").alias("r"), "text"))
+                ),
+                lambda s: s.text,
+            ).alias("top_texts")
+        )
+    )
+    return stats.join(top, "target", "left").select(
+        "target",
+        "n_refs",
+        "n_hosts",
+        F.coalesce("top_texts", F.array().cast("array<string>")).alias(
+            "top_texts"
+        ),
+    )
 
 
 def apply_link_rank(

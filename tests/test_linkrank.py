@@ -4,7 +4,11 @@ and the budget-feedback hook."""
 
 from pyspark.sql import functions as F
 
-from crawler_engine_spark.operators.linkrank import apply_link_rank, pagerank
+from crawler_engine_spark.operators.linkrank import (
+    anchor_summary,
+    apply_link_rank,
+    pagerank,
+)
 
 SCALE = 10**12
 
@@ -97,6 +101,60 @@ def test_apply_link_rank_scales_budgets(spark):
         [("small.example", 1)], "host string, host_budget int"
     )
     assert apply_link_rank(tiny, ranks).first()["host_budget"] == 1
+
+
+_LINKS_SCHEMA = "url string, links array<struct<href:string,text:string>>"
+
+
+def test_anchor_summary_resolution_and_aggregation(spark):
+    rows = [
+        # absolute kept; root-relative resolved against the source's
+        # scheme+authority; path-relative / mailto / js / fragment dropped
+        ("https://a.example/p1", [
+            ("https://t.example/x", "Target  Page"),   # ws-normalized
+            ("/local", "home"),
+            ("other.html", "dropped"),
+            ("mailto:x@example.com", "dropped"),
+            ("#frag", "dropped"),
+            ("//proto.example/x", "dropped"),
+        ]),
+        ("https://a.example/p2", [("https://t.example/x", "target page")]),
+        ("https://b.example/p1", [
+            ("https://t.example/x", "Target  Page"),
+            ("https://t.example/x", ""),               # counts, no text
+        ]),
+    ]
+    out = {
+        r["target"]: r
+        for r in anchor_summary(
+            spark.createDataFrame(rows, _LINKS_SCHEMA)
+        ).collect()
+    }
+    assert set(out) == {"https://t.example/x", "https://a.example/local"}
+    t = out["https://t.example/x"]
+    assert t["n_refs"] == 4 and t["n_hosts"] == 2
+    # "Target Page" (2 refs, normalized) beats "target page" (1 ref);
+    # the empty-text ref is counted in n_refs but never ranked
+    assert t["top_texts"] == ["Target Page", "target page"]
+    local = out["https://a.example/local"]
+    assert local["n_refs"] == 1 and local["n_hosts"] == 1
+    assert local["top_texts"] == ["home"]
+
+
+def test_anchor_summary_topk_order_and_ties(spark):
+    links = (
+        [("https://t.example/", "common")] * 3
+        + [("https://t.example/", "beta")] * 2
+        + [("https://t.example/", "alpha")] * 2
+        + [("https://t.example/", "rare")]
+    )
+    rows = [("https://s.example/p", links)]
+    row = anchor_summary(
+        spark.createDataFrame(rows, _LINKS_SCHEMA), top_k=3
+    ).first()
+    # count desc, then text asc on the tie; top_k caps out "rare"
+    assert row["top_texts"] == ["common", "alpha", "beta"]
+    assert row["n_refs"] == 8 and row["n_hosts"] == 1
 
 
 def test_pagerank_checkpoint_cadence_is_result_identical(spark):
