@@ -303,3 +303,36 @@ def test_jvm_agg_catalog_queries_keep_partial_agg_first(spark):
     assert "RoundRobinPartitioning" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_linkrank_plans(spark):
+    """pagerank: all-JVM iteration (no Python), the reused node/edge
+    tables come from the cache (InMemoryTableScan), and nothing collapses
+    to a single partition; apply_link_rank: the host-cardinality rank
+    table broadcasts instead of shuffling the frontier; anchor_summary:
+    partitioned windows only (no global window), no Python, no cartesian."""
+    from crawler_engine_spark.operators import linkrank
+
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    p = _plan(linkrank.pagerank(edges, iterations=2))
+    assert "Python" not in p
+    assert "SinglePartition" not in p
+    assert "InMemoryTableScan" in p  # persisted nodes/esrc, not re-scans
+    assert "NestedLoop" not in p
+
+    ranks = spark.createDataFrame([("h", 10)], "host string, rank_micro long")
+    frontier = spark.createDataFrame(
+        [("h", 4)], "host string, host_budget int"
+    )
+    p = _plan(linkrank.apply_link_rank(frontier, ranks))
+    assert "BroadcastHashJoin" in p
+    assert "SinglePartition" not in p
+
+    pages = spark.createDataFrame(
+        [("https://a.example/p", [("https://t.example/x", "t")])],
+        "url string, links array<struct<href:string,text:string>>",
+    )
+    p = _plan(linkrank.anchor_summary(pages))
+    assert "Python" not in p
+    assert "SinglePartition" not in p
+    assert "NestedLoop" not in p
