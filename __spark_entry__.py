@@ -1273,22 +1273,31 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
-                  damping: int = 85) -> str:
+                  damping: int = 85, teleport_pred: str | None = None) -> str:
     """Replay every PageRank iteration in DuckDB: the same integer floor
     divisions and long sums, unrolled as one CTE pair per iteration
     (recursive CTEs can't re-aggregate the recursive term, so the fixed
-    iteration count is generated instead — the minhash-perms pattern)."""
+    iteration count is generated instead — the minhash-perms pattern).
+    ``teleport_pred`` (a SQL predicate over ``node``) switches to the
+    personalized variant: |S| replaces n in the constants and the init /
+    base mass applies only where the predicate holds."""
+    in_t = teleport_pred if teleport_pred is not None else "TRUE"
     head = f"""
         WITH e AS (
           SELECT DISTINCT CAST(o_custkey % 300 AS BIGINT) AS src,
                           CAST(o_orderkey % 300 AS BIGINT) AS dst
           FROM orders),
-        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        nodes AS (
+          SELECT node, ({in_t}) AS t
+          FROM (SELECT src AS node FROM e UNION SELECT dst FROM e)),
         od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
         consts AS (SELECT {scale} // COUNT(*) AS init,
                           (15 * ({scale} // COUNT(*))) // 100 AS base
-                   FROM nodes),
-        r0 AS (SELECT node, (SELECT init FROM consts) AS r FROM nodes)"""
+                   FROM nodes WHERE t),
+        r0 AS (SELECT node,
+                      CASE WHEN t THEN (SELECT init FROM consts) ELSE 0 END
+                        AS r
+               FROM nodes)"""
     iters = "".join(
         f""",
         c{k} AS (SELECT e.dst AS node, SUM(r.r // od.od) AS contrib
@@ -1296,7 +1305,8 @@ def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
                  JOIN r{k - 1} r ON r.node = e.src
                  GROUP BY e.dst),
         r{k} AS (SELECT n.node,
-                        (SELECT base FROM consts)
+                        CASE WHEN n.t THEN (SELECT base FROM consts)
+                             ELSE 0 END
                         + ({damping} * COALESCE(c.contrib, 0)) // 100 AS r
                  FROM nodes n LEFT JOIN c{k} c USING (node))"""
         for k in range(1, iterations + 1)
@@ -1306,6 +1316,28 @@ def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
                ROUND(CAST(r AS DOUBLE) / {float(scale)}, 8) AS rank
         FROM r{iterations}
     """
+
+
+def q_focused_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (focused-crawl scheduling): same orders
+    graph as link_pagerank, teleport restricted to the 30 nodes with
+    node % 10 == 0 — rank mass restarts only at the topic seeds, so
+    authority means reachable-from-the-seeds.  Same unrolled DuckDB
+    replay, with the teleport predicate in the constants and base term."""
+    from crawler_engine_spark.operators import linkrank
+
+    o = _t(spark, sf_dir, "orders", parallel=False)
+    edges = o.select(
+        (F.col("o_custkey") % 300).cast("long").alias("src"),
+        (F.col("o_orderkey") % 300).cast("long").alias("dst"),
+    )
+    tele = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .where(F.col("node") % 10 == 0)
+        .distinct()
+    )
+    return linkrank.pagerank(edges, iterations=10, teleport=tele)
 
 
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1522,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "dup_span_fraction": q_dup_span_fraction,
         "link_pagerank": q_link_pagerank,
+        "focused_pagerank": q_focused_pagerank,
         "anchor_texts": q_anchor_texts,
     }
 
@@ -2642,5 +2675,8 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN perdoc p USING (doc_id)
     """
     oracles["link_pagerank"] = _pagerank_sql(iterations=10)
+    oracles["focused_pagerank"] = _pagerank_sql(
+        iterations=10, teleport_pred="node % 10 = 0"
+    )
     oracles["anchor_texts"] = _ANCHOR_TEXTS_SQL
     return oracles

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "dup_ngrams",
     "dup_span_fraction",
     "link_pagerank",
+    "focused_pagerank",
     "anchor_texts",
 ]
 

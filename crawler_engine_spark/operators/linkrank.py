@@ -59,6 +59,7 @@ def pagerank(
     damping: int = 85,
     checkpoint_every: int = 0,
     eager: bool = False,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list (parallel edges
     collapse; self-loops participate like any edge).
@@ -72,6 +73,15 @@ def pagerank(
 
     Dangling nodes (no out-edges) leak their mass — the plain "no dangling
     redistribution" variant, mirrored verbatim by the oracle.
+
+    ``teleport`` switches to *personalized* PageRank — the focused-crawl
+    signal (rank mass restarts only at the topic/seed set, so authority
+    means "well-linked FROM the seeds", not globally): a one-column
+    DataFrame of restart nodes; ``n`` above becomes ``|teleport ∩ nodes|``
+    and both the initial mass and the per-iteration base term apply only
+    to those nodes (0 elsewhere).  Teleport entries absent from the graph
+    are ignored.  The restart set is seed-cardinality — broadcast onto
+    the node table, no extra shuffle.
 
     ``checkpoint_every`` > 0 cuts lineage with ``localCheckpoint`` after
     every that-many iterations (identical results; see module docstring
@@ -93,11 +103,20 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
-    n = nodes.count()
+    if teleport is not None:
+        tset = teleport.select(
+            F.col(teleport.columns[0]).alias("node")
+        ).distinct()
+        nodes = nodes.join(
+            F.broadcast(tset.withColumn("_in", F.lit(True))), "node", "left"
+        ).select("node", F.coalesce("_in", F.lit(False)).alias("_t"))
+    else:
+        nodes = nodes.withColumn("_t", F.lit(True))
+    nodes = nodes.persist()
+    n = nodes.where("_t").count()
     if n == 0:
-        return nodes.select(
+        return nodes.limit(0).select(
             "node",
             F.lit(0).cast("long").alias("rank_micro"),
             F.lit(0.0).alias("rank"),
@@ -108,7 +127,12 @@ def pagerank(
     # out-degree fused into the edge list once; cached across iterations
     esrc = e.join(outdeg, "src").persist()
 
-    ranks = nodes.select(F.col("node"), F.lit(init).cast("long").alias("r"))
+    base_col = F.when(F.col("_t"), F.lit(base)).otherwise(F.lit(0))
+    ranks = nodes.select(
+        "node",
+        F.when(F.col("_t"), F.lit(init)).otherwise(F.lit(0))
+        .cast("long").alias("r"),
+    )
     for it in range(iterations):
         contrib = (
             esrc.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -121,7 +145,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    base_col
                     + F.expr(f"({damping} * coalesce(_contrib, 0L)) div 100")
                 ).cast("long").alias("r"),
             )

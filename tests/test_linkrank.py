@@ -13,22 +13,27 @@ from crawler_engine_spark.operators.linkrank import (
 SCALE = 10**12
 
 
-def _py_pagerank(edges, iterations=10, scale=SCALE, damping=85):
+def _py_pagerank(edges, iterations=10, scale=SCALE, damping=85, teleport=None):
     """Independent replica: same integer semantics, plain dicts."""
     e = sorted(set(edges))
     nodes = sorted({u for u, _ in e} | {v for _, v in e})
-    n = len(nodes)
+    tset = set(nodes) if teleport is None else set(teleport) & set(nodes)
+    n = len(tset)
     init = scale // n
     base = (15 * init) // 100
     od = {}
     for u, _ in e:
         od[u] = od.get(u, 0) + 1
-    r = {v: init for v in nodes}
+    r = {v: init if v in tset else 0 for v in nodes}
     for _ in range(iterations):
         contrib = {}
         for u, v in e:
             contrib[v] = contrib.get(v, 0) + r[u] // od[u]
-        r = {v: base + (damping * contrib.get(v, 0)) // 100 for v in nodes}
+        r = {
+            v: (base if v in tset else 0)
+            + (damping * contrib.get(v, 0)) // 100
+            for v in nodes
+        }
     return r
 
 
@@ -101,6 +106,38 @@ def test_apply_link_rank_scales_budgets(spark):
         [("small.example", 1)], "host string, host_budget int"
     )
     assert apply_link_rank(tiny, ranks).first()["host_budget"] == 1
+
+
+def test_personalized_pagerank_matches_pure_python_exactly(spark):
+    """Teleport restricted to {0, 5}: bit-exact vs the replica, including
+    a teleport entry (99) absent from the graph (ignored for |S|)."""
+    edges = _mixed_graph()
+    tele = spark.createDataFrame([(0,), (5,), (99,)], "node long")
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            iterations=10, teleport=tele,
+        ).collect()
+    }
+    want = _py_pagerank(edges, iterations=10, teleport=[0, 5, 99])
+    assert got == want
+
+
+def test_personalized_pagerank_focuses_mass_near_seeds(spark):
+    """Two disconnected 2-cycles; teleporting into one of them leaves the
+    other at exactly zero mass — the focused-crawl property."""
+    edges = [(1, 2), (2, 1), (10, 11), (11, 10)]
+    tele = spark.createDataFrame([(1,)], "node long")
+    rows = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"), teleport=tele
+        ).collect()
+    }
+    assert set(rows) == {1, 2, 10, 11}
+    assert rows[1] > 0 and rows[2] > 0
+    assert rows[10] == rows[11] == 0
 
 
 _LINKS_SCHEMA = "url string, links array<struct<href:string,text:string>>"
