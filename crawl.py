@@ -122,6 +122,7 @@ def cmd_crawl(args) -> None:
                 if args.link_rank_every is not None
                 else cfg.link_rank_every
             ),
+            link_rank_focus=args.link_rank_focus or cfg.link_rank_focus,
         ),
     )
     if engine.last_committed() < 0:
@@ -457,6 +458,10 @@ def main() -> None:
     pc.add_argument("--link-rank-every", type=int,
                     help="recompute the rank table only every N rounds, "
                          "reusing the written table in between (default 1)")
+    pc.add_argument("--link-rank-focus", action="store_true",
+                    help="personalize the rank to the crawl's seed hosts "
+                         "(focused crawling: authority as seen from the "
+                         "seeds, not global)")
     pc.add_argument("--trap-keep", type=int,
                     help="URLs sampled from each flagged trap template")
     pc.add_argument("--config", help="yaml/json config file (overrides env)")

@@ -64,6 +64,7 @@ class EngineConfig:
     link_rank_budget: bool = False
     link_rank_iterations: int = 5
     link_rank_every: int = 1
+    link_rank_focus: bool = False
 
     # Extraction (ExtractionConfig analogs, models/config.py:110-147)
     mode: str | None = None  # None → adaptive ("adaptive always wins")
@@ -100,6 +101,7 @@ class EngineConfig:
             link_rank_budget=_env_bool("CRAWL_LINK_RANK", False),
             link_rank_iterations=_env_int("CRAWL_LINK_RANK_ITERS", 5),
             link_rank_every=_env_int("CRAWL_LINK_RANK_EVERY", 1),
+            link_rank_focus=_env_bool("CRAWL_LINK_RANK_FOCUS", False),
             mode=mode,
             extract_opts=opts,
         )
@@ -118,6 +120,7 @@ class EngineConfig:
         "bloom_bits_per_segment", "max_rounds",
         "trap_threshold", "trap_keep_per_pattern",
         "link_rank_budget", "link_rank_iterations", "link_rank_every",
+        "link_rank_focus",
     )
 
     @classmethod

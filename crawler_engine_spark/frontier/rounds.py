@@ -96,6 +96,11 @@ class CrawlConfig:
     # committed round of discovered edges before it can bite.
     link_rank_budget: bool = False
     link_rank_iterations: int = 5
+    # Focused crawling: teleport the budget PageRank to the crawl's own
+    # round-0 seed hosts, so "authoritative" means authoritative AS SEEN
+    # FROM the seeds (topic-local), not globally — off-topic hub farms
+    # discovered late earn less budget than under the uniform restart.
+    link_rank_focus: bool = False
     # Re-rank cadence: recompute PageRank only when the last rank table is
     # ≥ this many rounds old, reusing the written table in between.  The
     # rank table changes slowly relative to the frontier, so at the design
@@ -547,12 +552,20 @@ class CrawlEngine:
                     if os.path.isdir(d)
                 ]
                 if edge_dirs:
+                    teleport = (
+                        self._read_frontier(0).select(
+                            F.col("host").alias("node")
+                        ).distinct()
+                        if self.cfg.link_rank_focus
+                        else None
+                    )
                     linkrank.pagerank(
                         self.spark.read.parquet(*edge_dirs),
                         src_col="src_host",
                         dst_col="dst_host",
                         iterations=self.cfg.link_rank_iterations,
                         eager=True,
+                        teleport=teleport,
                     ).select(
                         F.col("node").alias("host"), "rank_micro"
                     ).write.mode("overwrite").parquet(

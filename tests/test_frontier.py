@@ -782,6 +782,45 @@ def test_engine_link_rank_budget_prefers_authoritative_host(spark, tmp_path):
     assert control_hosts["hub.example"] == control_hosts["leaf.example"] == 2
 
 
+def test_engine_link_rank_focus_personalizes_to_seed_hosts(spark, tmp_path):
+    """link_rank_focus: the engine's written rank table must equal
+    personalized PageRank over the crawl's own host graph with the round-0
+    seed hosts as teleport — and differ from the uniform table (the knob
+    binds)."""
+    from crawler_engine_spark.operators.linkrank import pagerank
+
+    def ranks_table(state, focus):
+        eng, _, _ = _link_rank_crawl(
+            spark, tmp_path, state, rounds=2, upto_round=2,
+            link_rank_budget=True, link_rank_focus=focus,
+        )
+        path = eng._round_dir(2) + "/host_ranks"
+        return {
+            r["host"]: r["rank_micro"]
+            for r in spark.read.parquet(path).collect()
+        }
+
+    focused = ranks_table("state_focus", True)
+    uniform = ranks_table("state_uniform", False)
+    # the round-1 host graph is exactly {s_i→hub ×6, s0→leaf}
+    edges = spark.createDataFrame(
+        [(f"s{i}.example", "hub.example") for i in range(6)]
+        + [("s0.example", "leaf.example")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [(f"s{i}.example",) for i in range(6)], "node string"
+    )
+    expect = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank(edges, iterations=5, teleport=seeds).collect()
+    }
+    assert focused == expect
+    assert focused != uniform
+    # non-seed hosts carry no restart mass under focus: pure in-link rank
+    assert focused["hub.example"] > focused["leaf.example"] > 0
+
+
 def test_engine_link_rank_cadence_reuses_rank_table(spark, tmp_path):
     """link_rank_every=2: round 2 computes and writes the rank table,
     round 3 reuses it (applied without recomputation) — the cadence that
