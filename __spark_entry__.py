@@ -1318,6 +1318,43 @@ def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
     """
 
 
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keywords (textstats.top_keywords, top_k=3) —
+    doc tagging for corpus curation.  Both engines round the score to 6
+    decimals before ranking (term-asc tie-break), so ln() ulp noise
+    cannot reorder them; keywords serialize '|'-joined for the compare."""
+    d = _t(spark, sf_dir, "documents")
+    out = textstats.top_keywords(d, "text", "doc_id", top_k=3)
+    return out.select(
+        "doc_id", F.concat_ws("|", "keywords").alias("keywords")
+    )
+
+
+_DOC_KEYWORDS_SQL = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+               '[^\p{L}\p{N}'']+'), t -> t != '') AS ts
+      FROM documents),
+    flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM flat
+           GROUP BY doc_id, term),
+    dfs AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS s
+      FROM tf JOIN dfs USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, term) AS r
+      FROM scored)
+    SELECT doc_id, STRING_AGG(term, '|' ORDER BY r) AS keywords
+    FROM ranked WHERE r <= 3 GROUP BY doc_id
+"""
+
+
 def q_focused_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (focused-crawl scheduling): same orders
     graph as link_pagerank, teleport restricted to the 30 nodes with
@@ -1556,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pagerank": q_link_pagerank,
         "focused_pagerank": q_focused_pagerank,
         "anchor_texts": q_anchor_texts,
+        "doc_keywords": q_doc_keywords,
     }
 
 
@@ -2679,4 +2717,5 @@ def oracle_sql() -> dict[str, str]:
         iterations=10, teleport_pred="node % 10 = 0"
     )
     oracles["anchor_texts"] = _ANCHOR_TEXTS_SQL
+    oracles["doc_keywords"] = _DOC_KEYWORDS_SQL
     return oracles

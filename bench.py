@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "link_pagerank",
     "focused_pagerank",
     "anchor_texts",
+    "doc_keywords",
 ]
 
 

@@ -219,3 +219,58 @@ def unigram_logprob_scores(docs, text_col: str, id_col: str, k: float = 0.5):
         )
         .select(F.col("_id").alias(id_col), "nll")
     )
+
+
+def top_keywords(docs, text_col: str, id_col: str, top_k: int = 5):
+    """Per-document salient terms by tf·idf (idf = ln(n_docs / df)) — the
+    cheap doc-tagging signal for corpus curation (cluster labeling,
+    topic-balanced sampling, dedup-survivor naming).
+
+    One token explode feeds both the per-doc tf table and the corpus df
+    table (ReuseExchange dedupes the shared subtree); df joins back on
+    term as a shuffle join — the vocab is corpus-sized, do NOT broadcast
+    it (AQE splits the inevitable stopword skew).  The per-doc ranking
+    runs over pre-aggregated (doc, term) rows, whose group size is
+    bounded by a document's vocabulary — no salting needed (contrast
+    anchor_summary's unbounded targets).  Scores round to 6 decimals
+    BEFORE ranking (term-asc tie-break) so an ulp of ln() noise cannot
+    reorder engines.
+
+    Returns (id_col, keywords array<string>, score-desc then term-asc);
+    token-less documents yield no row.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokens_lower(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count("*").alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    w = Window.partitionBy("_id").orderBy(F.col("_score").desc(), F.col("term"))
+    ranked = (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_score",
+            F.round(
+                F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+        .withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= top_k)
+    )
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_r").alias("r"), "term"))
+                ),
+                lambda s: s.term,
+            ).alias("keywords")
+        )
+        .select(F.col("_id").alias(id_col), "keywords")
+    )

@@ -494,3 +494,43 @@ def test_unigram_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id long, text string")
     out = ts.unigram_logprob_scores(df, "text", "doc_id")
     assert out.count() == 0 and out.columns == ["doc_id", "nll"]
+
+
+def test_top_keywords_matches_pure_python(spark):
+    """tf·idf keyword ranking vs an independent Counter-based replica,
+    including the 6-decimal pre-rank rounding and term-asc tie-break."""
+    import math
+    from collections import Counter
+
+    from crawler_engine_spark.operators.textstats import (
+        _py_tokens,
+        top_keywords,
+    )
+
+    docs = [
+        (1, "spark spark join the the the"),
+        (2, "the join window"),
+        (3, "window window unique"),
+        (4, ""),
+    ]
+    tf = {i: Counter(_py_tokens(t)) for i, t in docs}
+    df = Counter(term for c in tf.values() for term in c)
+    n = len(docs)
+    want = {}
+    for i, c in tf.items():
+        if not c:
+            continue
+        ranked = sorted(
+            ((round(cnt * math.log(n / df[t]), 6), t) for t, cnt in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )
+        want[i] = [t for _, t in ranked[:2]]
+    got = {
+        r["doc_id"]: r["keywords"]
+        for r in top_keywords(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "text", "doc_id", top_k=2,
+        ).collect()
+    }
+    assert got == want
+    assert 4 not in got  # token-less doc yields no row
