@@ -198,6 +198,52 @@ def cmd_index(args) -> None:
     spark.stop()
 
 
+def cmd_rank(args) -> None:
+    """Offline link-graph analysis of a finished crawl: PageRank the
+    host→host edge deltas accumulated under state_dir (written by rounds
+    run with link_rank_budget) and write the host rank table —
+    optionally personalized to the crawl's round-0 seed hosts."""
+    from pyspark.sql import functions as F
+
+    from crawler_engine_spark.operators import linkrank
+
+    spark = get_spark("crawl-rank")
+    root = os.path.join(args.state, "rounds")
+    rounds = sorted(
+        (d for d in os.listdir(root) if d.startswith("round=")),
+        key=lambda n: int(n.split("=")[1]),
+    )
+    edge_dirs = [
+        os.path.join(root, d, "host_edges")
+        for d in rounds
+        if os.path.exists(os.path.join(root, d, "_COMMIT"))
+        and os.path.isdir(os.path.join(root, d, "host_edges"))
+    ]
+    if not edge_dirs:
+        raise SystemExit(
+            "rank: no host_edges under state "
+            "(crawl with --link-rank-budget first)"
+        )
+    teleport = None
+    if args.focus_seeds:
+        teleport = (
+            spark.read.parquet(os.path.join(root, "round=0", "frontier"))
+            .select(F.col("host").alias("node"))
+            .distinct()
+        )
+    linkrank.pagerank(
+        spark.read.parquet(*edge_dirs),
+        src_col="src_host",
+        dst_col="dst_host",
+        iterations=args.iterations,
+        teleport=teleport,
+    ).write.mode("overwrite").parquet(args.out)
+    n_hosts = spark.read.parquet(args.out).count()
+    print(json.dumps({"command": "rank", "hosts": n_hosts,
+                      "rounds_with_edges": len(edge_dirs), "out": args.out}))
+    spark.stop()
+
+
 def cmd_corpus(args) -> None:
     """Corpus-prep funnel over a parquet of documents: the --ops list runs
     in the order given, each stage reporting its surviving row count —
@@ -266,6 +312,15 @@ def cmd_corpus(args) -> None:
                 .join(cleaned, id_col)
                 .withColumnRenamed("clean_text", text_col)
                 .where(F.trim(F.col(text_col)) != "")
+            )
+        elif op == "keywords":
+            # annotation (not a filter): tf·idf doc tags for curation
+            from crawler_engine_spark.operators.textstats import top_keywords
+
+            kw = top_keywords(df, text_col, id_col, top_k=args.keywords_k)
+            df = df.join(kw, id_col, "left").withColumn(
+                "keywords",
+                F.coalesce(F.col("keywords"), F.array().cast("array<string>")),
             )
         elif op == "sample":
             df = df.where(corpusops.hash_keep_col(F.col(id_col), args.sample_pct))
@@ -467,6 +522,17 @@ def main() -> None:
     pc.add_argument("--config", help="yaml/json config file (overrides env)")
     pc.set_defaults(fn=cmd_crawl)
 
+    pr = sub.add_parser(
+        "rank",
+        help="PageRank a finished crawl's host graph (state_dir host_edges)",
+    )
+    pr.add_argument("--state", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--iterations", type=int, default=10)
+    pr.add_argument("--focus-seeds", action="store_true",
+                    help="personalize to the crawl's round-0 seed hosts")
+    pr.set_defaults(fn=cmd_rank)
+
     pd_ = sub.add_parser("doctor", help="dependency / smoke checks")
     pd_.set_defaults(fn=cmd_doctor)
 
@@ -486,7 +552,7 @@ def main() -> None:
     pco.add_argument("--ops", default="lang,quality,exact_dedup,near_dedup,pii",
                      help="comma list, applied in order: lang quality gopher "
                           "pii exact_dedup near_dedup incremental chunk_dedup "
-                          "sample cap")
+                          "keywords sample cap")
     pco.add_argument("--old-docs",
                      help="previous-snapshot parquet for the 'incremental' op")
     pco.add_argument("--old-index",
@@ -498,6 +564,8 @@ def main() -> None:
     pco.add_argument("--min-quality", type=float, default=0.5)
     pco.add_argument("--jaccard", type=float, default=0.8)
     pco.add_argument("--sample-pct", type=int, default=10)
+    pco.add_argument("--keywords-k", type=int, default=5,
+                     help="tf-idf keywords per doc for the 'keywords' op")
     pco.add_argument("--strata", default="lang")
     pco.add_argument("--cap", type=int, default=1000)
     pco.set_defaults(fn=cmd_corpus)
