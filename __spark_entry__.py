@@ -1318,6 +1318,54 @@ def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
     """
 
 
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl-style ingestion round-trip, verified distributed:
+    documents fold into 10 member-gzip WARC archives (applyInPandas,
+    deterministic doc_id order within each archive) and sources/warc.py
+    parses them back record-by-record.  The oracle derives the expected
+    page rows straight from documents — url, timestamp, HTTP status and
+    payload byte length must survive the framing."""
+    import pandas as pd
+
+    from crawler_engine_spark.sources import warc
+
+    d = _t(spark, sf_dir, "documents")
+
+    def to_warc(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            (f"https://docs.example/d/{i}", "2026-01-01T00:00:00Z",
+             t.encode("utf-8"))
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        ]
+        return pd.DataFrame(
+            {"content": [warc.build_warc(recs, gzip_members=True)]}
+        )
+
+    files = (
+        d.select((F.col("doc_id") % 10).alias("g"), "doc_id", "text")
+        .groupBy("g")
+        .applyInPandas(to_warc, "content binary")
+        .withColumn("path", F.lit("synthetic.warc.gz"))
+    )
+    pages = warc.warc_response_pages(files)
+    return pages.select(
+        "url",
+        "warc_ts",
+        F.col("http_status").cast("int").alias("http_status"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+
+
+_WARC_INGEST_SQL = """
+    SELECT 'https://docs.example/d/' || CAST(doc_id AS VARCHAR) AS url,
+           '2026-01-01T00:00:00Z' AS warc_ts,
+           CAST(200 AS INT) AS http_status,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+"""
+
+
 def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document tf-idf keywords (textstats.top_keywords, top_k=3) —
     doc tagging for corpus curation.  Both engines round the score to 6
@@ -1594,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focused_pagerank": q_focused_pagerank,
         "anchor_texts": q_anchor_texts,
         "doc_keywords": q_doc_keywords,
+        "warc_ingest": q_warc_ingest,
     }
 
 
@@ -2718,4 +2767,5 @@ def oracle_sql() -> dict[str, str]:
     )
     oracles["anchor_texts"] = _ANCHOR_TEXTS_SQL
     oracles["doc_keywords"] = _DOC_KEYWORDS_SQL
+    oracles["warc_ingest"] = _WARC_INGEST_SQL
     return oracles

@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "focused_pagerank",
     "anchor_texts",
     "doc_keywords",
+    "warc_ingest",
 ]
 
 

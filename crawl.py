@@ -198,6 +198,26 @@ def cmd_index(args) -> None:
     spark.stop()
 
 
+def cmd_ingest(args) -> None:
+    """Convert .warc/.warc.gz archives (the Common Crawl layout) into a
+    page-store parquet usable by extract/crawl: url + html from HTTP-200
+    response records (keep everything with --keep-non-200)."""
+    from pyspark.sql import functions as F
+
+    from crawler_engine_spark.sources.warc import read_warc_pages
+
+    spark = get_spark("crawl-ingest")
+    pages = read_warc_pages(spark, args.warc)
+    if not args.keep_non_200:
+        pages = pages.where(F.col("http_status") == 200)
+    pages.select("url", "html", "warc_ts").write.mode("overwrite").parquet(
+        args.out
+    )
+    n_pages = spark.read.parquet(args.out).count()
+    print(json.dumps({"command": "ingest", "pages": n_pages, "out": args.out}))
+    spark.stop()
+
+
 def cmd_rank(args) -> None:
     """Offline link-graph analysis of a finished crawl: PageRank the
     host→host edge deltas accumulated under state_dir (written by rounds
@@ -521,6 +541,16 @@ def main() -> None:
                     help="URLs sampled from each flagged trap template")
     pc.add_argument("--config", help="yaml/json config file (overrides env)")
     pc.set_defaults(fn=cmd_crawl)
+
+    pin = sub.add_parser(
+        "ingest", help="WARC archives (.warc/.warc.gz) → page-store parquet"
+    )
+    pin.add_argument("--warc", required=True,
+                     help="directory/glob of WARC files")
+    pin.add_argument("--out", required=True)
+    pin.add_argument("--keep-non-200", action="store_true",
+                     help="keep non-200 and headerless response records")
+    pin.set_defaults(fn=cmd_ingest)
 
     pr = sub.add_parser(
         "rank",
