@@ -229,15 +229,27 @@ def cmd_rank(args) -> None:
 
     spark = get_spark("crawl-rank")
     root = os.path.join(args.state, "rounds")
-    rounds = sorted(
-        (d for d in os.listdir(root) if d.startswith("round=")),
-        key=lambda n: int(n.split("=")[1]),
+    committed = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(root)
+        if d.startswith("round=")
+        and os.path.exists(os.path.join(root, d, "_COMMIT"))
     )
-    edge_dirs = [
-        os.path.join(root, d, "host_edges")
-        for d in rounds
-        if os.path.exists(os.path.join(root, d, "_COMMIT"))
-        and os.path.isdir(os.path.join(root, d, "host_edges"))
+    # compact-aware enumeration (same rule as the engine's rerank): the
+    # committed edge compact plus only the per-round deltas after it
+    base_upto, edge_dirs = -1, []
+    try:
+        with open(os.path.join(args.state, "edges_compact", "_COMPACT")) as f:
+            base_upto = int(json.load(f)["upto_round"])
+        edge_dirs.append(os.path.join(args.state, "edges_compact", "data"))
+    except (OSError, ValueError, KeyError):
+        base_upto = -1
+    edge_dirs += [
+        d
+        for k in committed
+        if k > base_upto
+        for d in [os.path.join(root, f"round={k}", "host_edges")]
+        if os.path.isdir(d)
     ]
     if not edge_dirs:
         raise SystemExit(
@@ -260,7 +272,7 @@ def cmd_rank(args) -> None:
     ).write.mode("overwrite").parquet(args.out)
     n_hosts = spark.read.parquet(args.out).count()
     print(json.dumps({"command": "rank", "hosts": n_hosts,
-                      "rounds_with_edges": len(edge_dirs), "out": args.out}))
+                      "edge_inputs": len(edge_dirs), "out": args.out}))
     spark.stop()
 
 

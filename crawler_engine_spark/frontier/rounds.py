@@ -444,6 +444,80 @@ class CrawlEngine:
                     shutil.rmtree(os.path.join(t_root, name))
         return upto
 
+    def _edges_compact_dir(self) -> str:
+        return os.path.join(self.state_dir, "edges_compact")
+
+    def edges_compacted_upto(self) -> int:
+        """Highest round covered by a committed edge compaction (-1 if
+        none)."""
+        try:
+            with open(os.path.join(self._edges_compact_dir(), "_COMPACT")) as f:
+                return int(json.load(f)["upto_round"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def compact_host_edges(self, upto_round: Optional[int] = None) -> int:
+        """Consolidate the per-round host→host edge deltas ≤ upto_round
+        into one distinct parquet dir — bounds the link-rank recompute's
+        read fan-in on long crawls the way compact_seen bounds the novelty
+        anti-join's.  Incremental (previous compact + only the new tail)
+        and crash-safe (full temp-dir write, then marker, then swap); the
+        compact is derived data, so superseded per-round deltas may be
+        retired by retention afterwards."""
+        upto = self.last_committed() if upto_round is None else upto_round
+        prev = self.edges_compacted_upto()
+        if upto <= prev:
+            return prev
+        dirs = [
+            d
+            for j in self.committed_rounds()
+            if prev < j <= upto
+            for d in [os.path.join(self._round_dir(j), "host_edges")]
+            if os.path.isdir(d)
+        ]
+        final = self._edges_compact_dir()
+        base = os.path.join(final, "data")
+        if prev >= 0 and os.path.isdir(base):
+            dirs.append(base)
+        if not dirs:
+            return prev
+        tmp = final + ".tmp"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        (
+            self.spark.read.parquet(*dirs)
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, "data"))
+        )
+        with open(os.path.join(tmp, "_COMPACT"), "w") as f:
+            json.dump({"upto_round": upto,
+                       "format_version": STATE_FORMAT_VERSION}, f)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        return upto
+
+    def _host_edge_inputs(self, committed: List[int]) -> List[str]:
+        """Edge-delta dirs for a rank recompute: the committed compact (if
+        any) plus only the per-round deltas after it.  Duplicate pairs
+        across compact and tail are harmless — pagerank distincts edges."""
+        base_upto = self.edges_compacted_upto()
+        base = os.path.join(self._edges_compact_dir(), "data")
+        out = []
+        if base_upto >= 0 and os.path.isdir(base):
+            out.append(base)
+        else:
+            base_upto = -1
+        out += [
+            d
+            for j in committed
+            if j > base_upto
+            for d in [os.path.join(self._round_dir(j), "host_edges")]
+            if os.path.isdir(d)
+        ]
+        return out
+
     def run_round(self, k: int) -> Optional[dict]:
         """Execute round ``k`` (requires round ``k-1`` committed).
         Returns the commit record, or None if the frontier is exhausted."""
@@ -543,14 +617,7 @@ class CrawlEngine:
                     os.path.join(self._round_dir(ranked[-1]), "host_ranks")
                 )
             else:
-                edge_dirs = [
-                    d
-                    for d in (
-                        os.path.join(self._round_dir(j), "host_edges")
-                        for j in committed
-                    )
-                    if os.path.isdir(d)
-                ]
+                edge_dirs = self._host_edge_inputs(committed)
                 if edge_dirs:
                     teleport = (
                         self._read_frontier(0).select(
@@ -863,6 +930,8 @@ class CrawlEngine:
                 and k - self.compacted_upto() >= self.cfg.compact_every
             ):
                 self.compact_seen(k)
+                if self.cfg.link_rank_budget:
+                    self.compact_host_edges(k)
             k += 1
         return records
 

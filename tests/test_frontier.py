@@ -821,6 +821,60 @@ def test_engine_link_rank_focus_personalizes_to_seed_hosts(spark, tmp_path):
     assert focused["hub.example"] > focused["leaf.example"] > 0
 
 
+def test_host_edge_compaction_bounds_rank_read_fanin(spark, tmp_path):
+    """compact_host_edges folds the per-round edge deltas into one
+    distinct base; a rerank afterwards reads compact + tail only — proven
+    by deleting the superseded deltas (retention) and still getting a
+    rank table identical to the uncompacted engine's."""
+    pages_path, robots, seeds = _authority_corpus(spark, tmp_path)
+
+    def eng(state):
+        e = CrawlEngine(
+            spark, state_dir=str(tmp_path / state), pages_path=pages_path,
+            robots=robots,
+            config=CrawlConfig(round_seconds=1.0, bloom_partitions=8,
+                               bloom_bits_per_segment=1 << 16,
+                               link_rank_budget=True),
+        )
+        e.init_from_seeds(seeds)
+        return e
+
+    plain = eng("state_nocompact")
+    plain.run(max_rounds=3)
+
+    compacted = eng("state_compact")
+    compacted.run(max_rounds=2)
+    upto = compacted.compact_host_edges()
+    assert upto == 2 and compacted.edges_compacted_upto() == 2
+    # compact contents = distinct union of the deltas it covers
+    base = spark.read.parquet(
+        compacted._edges_compact_dir() + "/data"
+    ).collect()
+    assert len(base) == len(set((r["src_host"], r["dst_host"]) for r in base))
+    # retention: superseded per-round deltas can go away
+    for j in (1, 2):
+        d = compacted._round_dir(j) + "/host_edges"
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    compacted.run(max_rounds=1)  # round 3 reranks from compact + tail
+    want = {
+        r["host"]: r["rank_micro"]
+        for r in spark.read.parquet(
+            plain._round_dir(3) + "/host_ranks"
+        ).collect()
+    }
+    got = {
+        r["host"]: r["rank_micro"]
+        for r in spark.read.parquet(
+            compacted._round_dir(3) + "/host_ranks"
+        ).collect()
+    }
+    assert got == want
+    # incremental: extends over the new tail, then no-ops
+    assert compacted.compact_host_edges() == 3
+    assert compacted.compact_host_edges() == 3
+
+
 def test_engine_link_rank_cadence_reuses_rank_table(spark, tmp_path):
     """link_rank_every=2: round 2 computes and writes the rank table,
     round 3 reuses it (applied without recomputation) — the cadence that
