@@ -1320,7 +1320,7 @@ def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
 
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common Crawl-style ingestion round-trip, verified distributed:
-    documents fold into 10 member-gzip WARC archives (applyInPandas,
+    documents fold into 32 member-gzip WARC archives (applyInPandas,
     deterministic doc_id order within each archive) and sources/warc.py
     parses them back record-by-record.  The oracle derives the expected
     page rows straight from documents — url, timestamp, HTTP status and
@@ -1339,11 +1339,14 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in zip(pdf["doc_id"], pdf["text"])
         ]
         return pd.DataFrame(
-            {"content": [warc.build_warc(recs, gzip_members=True)]}
+            # level 1: the parsed output is compression-level-independent,
+            # and the synth side shouldn't dominate the parse being measured
+            {"content": [warc.build_warc(recs, gzip_members=True,
+                                         compresslevel=1)]}
         )
 
     files = (
-        d.select((F.col("doc_id") % 10).alias("g"), "doc_id", "text")
+        d.select((F.col("doc_id") % 32).alias("g"), "doc_id", "text")
         .groupBy("g")
         .applyInPandas(to_warc, "content binary")
         .withColumn("path", F.lit("synthetic.warc.gz"))

@@ -123,7 +123,9 @@ def iter_response_pages(raw: bytes) -> Iterator[Tuple[str, str, Optional[int], b
 
 
 def build_warc(
-    records: List[Tuple[str, str, bytes]], gzip_members: bool = False
+    records: List[Tuple[str, str, bytes]],
+    gzip_members: bool = False,
+    compresslevel: int = 6,
 ) -> bytes:
     """Serialize (url, warc_ts, payload) triples as WARC/1.0 response
     records (deterministic; the test/world-gen twin of the parser)."""
@@ -136,7 +138,9 @@ def build_warc(
         ).encode("ascii")
         rec = head + http + b"\r\n\r\n"
         # mtime=0 keeps the member bytes deterministic across runs
-        out.append(gzip.compress(rec, 9, mtime=0) if gzip_members else rec)
+        out.append(
+            gzip.compress(rec, compresslevel, mtime=0) if gzip_members else rec
+        )
     return b"".join(out)
 
 
