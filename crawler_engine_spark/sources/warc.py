@@ -43,11 +43,20 @@ WARC_PAGE_SCHEMA = (
 
 
 def _split_gzip_members(raw: bytes) -> Iterator[bytes]:
-    """Decompress a concatenation of gzip members one member at a time."""
+    """Decompress a concatenation of gzip members one member at a time.
+    A truncated or corrupt member ends iteration at the last whole one —
+    the gzip twin of the plain path's stop-at-last-whole-record rule
+    (truncated segment downloads are a fact of life at archive scale)."""
     pos = 0
     while pos < len(raw):
         d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
-        yield d.decompress(raw[pos:])
+        try:
+            member = d.decompress(raw[pos:])
+        except zlib.error:
+            return
+        if not d.eof:  # ran out of input mid-member
+            return
+        yield member
         tail = d.unused_data
         if not tail:
             return

@@ -58,6 +58,16 @@ def test_warc_truncation_stops_at_last_whole_record():
     # garbage tail after a whole record also stops cleanly
     got = list(iter_response_pages(build_warc(_recs(1)) + b"\x00garbage"))
     assert len(got) == 1
+    # gzip path: a truncated final member yields only the whole members
+    gz = build_warc(_recs(2), gzip_members=True)
+    first_len = len(build_warc(_recs(1), gzip_members=True))
+    got = list(iter_response_pages(gz[: first_len + 10]))
+    assert [u for u, *_ in got] == ["https://w.example/p0"]
+    # corrupt bytes inside the second member stop after the first
+    corrupt = bytearray(gz)
+    corrupt[first_len + 12] ^= 0xFF
+    got = list(iter_response_pages(bytes(corrupt)))
+    assert [u for u, *_ in got] == ["https://w.example/p0"]
 
 
 def test_warc_body_without_http_headers_kept_whole():
