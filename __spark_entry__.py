@@ -1318,6 +1318,68 @@ def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
     """
 
 
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (5 floor-normalized integer iterations,
+    linkrank.hits) over the same orders graph as link_pagerank; DuckDB
+    replays every half-step with the normalizer as a scalar subquery.
+    Only the integer micro columns are compared — the cosmetic float
+    view rounds at exact .5 points, where engines' rounding modes
+    (HALF_UP vs banker's) legitimately diverge."""
+    from crawler_engine_spark.operators import linkrank
+
+    o = _t(spark, sf_dir, "orders", parallel=False)
+    edges = o.select(
+        (F.col("o_custkey") % 300).cast("long").alias("src"),
+        (F.col("o_orderkey") % 300).cast("long").alias("dst"),
+    )
+    return linkrank.hits(edges, iterations=5).select(
+        "node", "hub_micro", "auth_micro"
+    )
+
+
+def _hits_sql(iterations: int = 5, scale: int = 10**9) -> str:
+    """Unrolled integer-HITS replay (the _pagerank_sql pattern): one
+    (pre-table, normalized-table) CTE pair per half-step, the floor
+    normalizer as a scalar subquery over the pre-table.  Every CTE is
+    AS MATERIALIZED: each pre-table is referenced twice (join + scalar
+    total), and DuckDB's default CTE inlining would re-evaluate the
+    whole chain per reference — 2^(2·iterations) blowup, the exact dual
+    of why the Spark side materializes each half-step."""
+    head = f"""
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT CAST(o_custkey % 300 AS BIGINT) AS src,
+                          CAST(o_orderkey % 300 AS BIGINT) AS dst
+          FROM orders),
+        nodes AS MATERIALIZED (
+          SELECT src AS node FROM e UNION SELECT dst FROM e),
+        h0 AS MATERIALIZED (
+          SELECT node, {scale} // (SELECT COUNT(*) FROM nodes) AS h
+          FROM nodes)"""
+    steps = "".join(
+        f""",
+        ap{k} AS MATERIALIZED (
+          SELECT e.dst AS node, SUM(h.h) AS v
+          FROM e JOIN h{k - 1} h ON h.node = e.src GROUP BY e.dst),
+        a{k} AS MATERIALIZED (
+          SELECT n.node, COALESCE(p.v, 0)
+                 // GREATEST((SELECT SUM(v) FROM ap{k}) // {scale}, 1) AS a
+          FROM nodes n LEFT JOIN ap{k} p USING (node)),
+        hp{k} AS MATERIALIZED (
+          SELECT e.src AS node, SUM(a.a) AS v
+          FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),
+        h{k} AS MATERIALIZED (
+          SELECT n.node, COALESCE(p.v, 0)
+                 // GREATEST((SELECT SUM(v) FROM hp{k}) // {scale}, 1) AS h
+          FROM nodes n LEFT JOIN hp{k} p USING (node))"""
+        for k in range(1, iterations + 1)
+    )
+    return f"""{head}{steps}
+        SELECT h.node, CAST(h.h AS BIGINT) AS hub_micro,
+               CAST(a.a AS BIGINT) AS auth_micro
+        FROM h{iterations} h JOIN a{iterations} a USING (node)
+    """
+
+
 def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Common Crawl-style ingestion round-trip, verified distributed:
     documents fold into 32 member-gzip WARC archives (applyInPandas,
@@ -1646,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_texts": q_anchor_texts,
         "doc_keywords": q_doc_keywords,
         "warc_ingest": q_warc_ingest,
+        "hits_scores": q_hits_scores,
     }
 
 
@@ -2771,4 +2834,5 @@ def oracle_sql() -> dict[str, str]:
     oracles["anchor_texts"] = _ANCHOR_TEXTS_SQL
     oracles["doc_keywords"] = _DOC_KEYWORDS_SQL
     oracles["warc_ingest"] = _WARC_INGEST_SQL
+    oracles["hits_scores"] = _hits_sql(iterations=5)
     return oracles

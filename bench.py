@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "anchor_texts",
     "doc_keywords",
     "warc_ingest",
+    "hits_scores",
 ]
 
 

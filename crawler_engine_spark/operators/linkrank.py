@@ -164,6 +164,109 @@ def pagerank(
     return out
 
 
+def hits(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iterations: int = 5,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Integer HITS (hubs & authorities) over a directed edge list — the
+    PageRank complement: authorities are pages many hubs cite, hubs are
+    pages that cite many authorities (high-hub/low-authority hosts are
+    the classic link-directory / link-farm signature the trap guard
+    can't see).
+
+    Semantics (all integer, mirrored verbatim by the oracle):
+
+    * ``a0(v) = h0(v) = scale // n``
+    * ``a'_k(v) = Σ over in-edges (u,v) of h_{k-1}(u)``, then
+      ``a_k = a' // max(Σa' // scale, 1)`` (floor L1 normalization —
+      totals stay within ~2× scale);  ``h'`` and ``h_k`` symmetrically
+      over out-edges of the fresh ``a_k``.
+
+    The floor normalization is what keeps every quantity in int64 at web
+    cardinalities: pre-normalization values are ≤ degree_max × scale
+    (10^8 × 10^9 = 10^17), and no product of two large terms ever forms.
+    Two shuffles per iteration (one per direction).  Unlike
+    :func:`pagerank`, each iteration MUST materialize (eager
+    localCheckpoint + a 1-row total collected to the driver as the norm
+    literal): a lazy per-iteration normalizer references the score
+    subtree twice, doubling the plan every iteration — 4^iterations
+    analysis blowup.  Materialized iterative state is the
+    connected-components pattern (dedup.py); HITS is an offline analysis
+    op, so per-iteration job latency is the right trade.  Returns (node,
+    hub_micro, auth_micro, hub, auth), floats = micro/scale rounded
+    to 8; internal caches are released before returning.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_micro"),
+            F.lit(0).cast("long").alias("auth_micro"),
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("auth"),
+        )
+    esrc = e.persist()
+    init = scale // n
+
+    def _spread(scores: DataFrame, col: str, edge_key: str, out_key: str,
+                out_col: str) -> DataFrame:
+        """One HITS half-step: sum `col` over edges keyed by `edge_key`,
+        floor-normalize by the collected total, materialize."""
+        pre = (
+            esrc.join(scores.select(F.col("node").alias(edge_key), col),
+                      edge_key)
+            .groupBy(F.col(out_key).alias("node"))
+            .agg(F.sum(col).alias("v"))
+            .localCheckpoint(eager=True)
+        )
+        total = pre.agg(F.sum("v")).first()[0] or 0
+        norm = max(total // scale, 1)
+        return (
+            nodes.join(pre, "node", "left")
+            .select(
+                "node",
+                F.expr(f"coalesce(v, 0L) div {norm}L")
+                .cast("long").alias(out_col),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    h = nodes.select("node", F.lit(init).cast("long").alias("h"))
+    a = nodes.select("node", F.lit(init).cast("long").alias("a"))
+    for _ in range(iterations):
+        a = _spread(h, "h", "src", "dst", "a")
+        h = _spread(a, "a", "dst", "src", "h")
+    out = (
+        nodes.join(h, "node")
+        .join(a, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_micro"),
+            F.col("a").alias("auth_micro"),
+            F.round(F.col("h") / F.lit(float(scale)), 8).alias("hub"),
+            F.round(F.col("a") / F.lit(float(scale)), 8).alias("auth"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    nodes.unpersist()
+    esrc.unpersist()
+    return out
+
+
 def anchor_summary(
     pages: DataFrame,
     url_col: str = "url",

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from crawler_engine_spark.operators.linkrank import (
     anchor_summary,
     apply_link_rank,
+    hits,
     pagerank,
 )
 
@@ -106,6 +107,68 @@ def test_apply_link_rank_scales_budgets(spark):
         [("small.example", 1)], "host string, host_budget int"
     )
     assert apply_link_rank(tiny, ranks).first()["host_budget"] == 1
+
+
+def _py_hits(edges, iterations=5, scale=10**9):
+    """Independent integer-HITS replica: same floor normalization."""
+    e = sorted(set(edges))
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    init = scale // len(nodes)
+    h = {v: init for v in nodes}
+    a = {v: init for v in nodes}
+    for _ in range(iterations):
+        ap = {v: 0 for v in nodes}
+        for u, v in e:
+            ap[v] += h[u]
+        s = max(sum(ap.values()) // scale, 1)
+        a = {v: ap[v] // s for v in nodes}
+        hp = {v: 0 for v in nodes}
+        for u, v in e:
+            hp[u] += a[v]
+        s = max(sum(hp.values()) // scale, 1)
+        h = {v: hp[v] // s for v in nodes}
+    return h, a
+
+
+def test_hits_matches_pure_python_exactly(spark):
+    edges = _mixed_graph()
+    rows = {
+        r["node"]: r
+        for r in hits(
+            spark.createDataFrame(edges, "src long, dst long"), iterations=5
+        ).collect()
+    }
+    h, a = _py_hits(edges, iterations=5)
+    assert {k: r["hub_micro"] for k, r in rows.items()} == h
+    assert {k: r["auth_micro"] for k, r in rows.items()} == a
+    for r in rows.values():
+        # float columns are cosmetic; Spark rounds HALF_UP, Python's
+        # round() banker's — they differ by one ulp exactly at .5 points
+        assert abs(r["hub"] - r["hub_micro"] / 10**9) <= 5e-9
+        assert abs(r["auth"] - r["auth_micro"] / 10**9) <= 5e-9
+
+
+def test_hits_structure_directory_vs_authority(spark):
+    """A directory node pointing at every authority gets the top hub
+    score and zero authority; the most-cited node gets the top authority
+    score; an isolated citer/citee pair stays low on both."""
+    edges = (
+        [(100, v) for v in (1, 2, 3, 4)]   # 100 = pure directory/hub
+        + [(u, 1) for u in (2, 3, 4)]      # 1 = most-cited authority
+        + [(50, 51)]                       # side pair
+    )
+    rows = {
+        r["node"]: r
+        for r in hits(
+            spark.createDataFrame(edges, "src long, dst long")
+        ).collect()
+    }
+    top_hub = max(rows.values(), key=lambda r: r["hub_micro"])["node"]
+    top_auth = max(rows.values(), key=lambda r: r["auth_micro"])["node"]
+    assert top_hub == 100 and top_auth == 1
+    assert rows[100]["auth_micro"] == 0  # nothing cites the directory
+    assert rows[51]["hub_micro"] == 0    # the sink cites nothing
+    assert hits(spark.createDataFrame([], "src long, dst long")).count() == 0
 
 
 def test_personalized_pagerank_matches_pure_python_exactly(spark):
