@@ -256,20 +256,25 @@ def cmd_rank(args) -> None:
             "rank: no host_edges under state "
             "(crawl with --link-rank-budget first)"
         )
-    teleport = None
-    if args.focus_seeds:
-        teleport = (
-            spark.read.parquet(os.path.join(root, "round=0", "frontier"))
-            .select(F.col("host").alias("node"))
-            .distinct()
+    edges = spark.read.parquet(*edge_dirs)
+    if args.hits:
+        ranks = linkrank.hits(
+            edges, src_col="src_host", dst_col="dst_host",
+            iterations=args.iterations,
         )
-    linkrank.pagerank(
-        spark.read.parquet(*edge_dirs),
-        src_col="src_host",
-        dst_col="dst_host",
-        iterations=args.iterations,
-        teleport=teleport,
-    ).write.mode("overwrite").parquet(args.out)
+    else:
+        teleport = None
+        if args.focus_seeds:
+            teleport = (
+                spark.read.parquet(os.path.join(root, "round=0", "frontier"))
+                .select(F.col("host").alias("node"))
+                .distinct()
+            )
+        ranks = linkrank.pagerank(
+            edges, src_col="src_host", dst_col="dst_host",
+            iterations=args.iterations, teleport=teleport,
+        )
+    ranks.write.mode("overwrite").parquet(args.out)
     n_hosts = spark.read.parquet(args.out).count()
     print(json.dumps({"command": "rank", "hosts": n_hosts,
                       "edge_inputs": len(edge_dirs), "out": args.out}))
@@ -573,6 +578,10 @@ def main() -> None:
     pr.add_argument("--iterations", type=int, default=10)
     pr.add_argument("--focus-seeds", action="store_true",
                     help="personalize to the crawl's round-0 seed hosts")
+    pr.add_argument("--hits", action="store_true",
+                    help="HITS hub/authority scores instead of PageRank "
+                         "(high-hub/low-authority = link-directory "
+                         "signature)")
     pr.set_defaults(fn=cmd_rank)
 
     pd_ = sub.add_parser("doctor", help="dependency / smoke checks")
