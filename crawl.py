@@ -350,6 +350,18 @@ def cmd_corpus(args) -> None:
                 .withColumnRenamed("clean_text", text_col)
                 .where(F.trim(F.col(text_col)) != "")
             )
+        elif op == "boilerplate":
+            # per-site boilerplate strip (RefinedWeb line rule): chunks
+            # repeated across >=3 docs of the same group disappear
+            cleaned = corpusops.boilerplate_chunks(
+                df, text_col, id_col, args.boilerplate_group
+            ).select(F.col(id_col), F.col("clean_text"))
+            df = (
+                df.drop(text_col)
+                .join(cleaned, id_col)
+                .withColumnRenamed("clean_text", text_col)
+                .where(F.trim(F.col(text_col)) != "")
+            )
         elif op == "keywords":
             # annotation (not a filter): tf·idf doc tags for curation
             from crawler_engine_spark.operators.textstats import top_keywords
@@ -603,7 +615,7 @@ def main() -> None:
     pco.add_argument("--ops", default="lang,quality,exact_dedup,near_dedup,pii",
                      help="comma list, applied in order: lang quality gopher "
                           "pii exact_dedup near_dedup incremental chunk_dedup "
-                          "keywords sample cap")
+                          "boilerplate keywords sample cap")
     pco.add_argument("--old-docs",
                      help="previous-snapshot parquet for the 'incremental' op")
     pco.add_argument("--old-index",
@@ -617,6 +629,8 @@ def main() -> None:
     pco.add_argument("--sample-pct", type=int, default=10)
     pco.add_argument("--keywords-k", type=int, default=5,
                      help="tf-idf keywords per doc for the 'keywords' op")
+    pco.add_argument("--boilerplate-group", default="source",
+                     help="site/host column scoping the 'boilerplate' op")
     pco.add_argument("--strata", default="lang")
     pco.add_argument("--cap", type=int, default=1000)
     pco.set_defaults(fn=cmd_corpus)

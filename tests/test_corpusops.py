@@ -467,15 +467,17 @@ def test_cli_corpus_funnel(spark, tmp_path):
     proc = subprocess.run(
         [sys.executable, os.path.join(repo, "crawl.py"), "corpus",
          "--docs", docs, "--out", out,
-         "--ops", "lang,quality,exact_dedup,pii,cap",
-         "--strata", "lang,source", "--cap", "3", "--min-quality", "0.3"],
+         "--ops", "lang,quality,exact_dedup,boilerplate,keywords,pii,cap",
+         "--strata", "lang,source", "--cap", "3", "--min-quality", "0.3",
+         "--keywords-k", "2"],
         capture_output=True, text=True, timeout=600,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     rec = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
     s = rec["stats"]
     # funnel is monotone non-increasing and every stage reported
-    order = ["input", "lang", "quality", "exact_dedup", "pii", "cap"]
+    order = ["input", "lang", "quality", "exact_dedup", "boilerplate",
+             "keywords", "pii", "cap"]
     assert list(s) == order
     vals = [s[k] for k in order]
     assert all(a >= b for a, b in zip(vals, vals[1:]))
@@ -483,6 +485,10 @@ def test_cli_corpus_funnel(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == vals[-1]
     assert "quality" in got.columns and "lang_pred" in got.columns
+    # keywords annotation survives later filter stages, max k entries
+    assert all(
+        len(r["keywords"]) <= 2 for r in got.select("keywords").collect()
+    )
 
 
 def test_cli_index_then_incremental_ingest(spark, tmp_path):
