@@ -1636,7 +1636,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering is load-bearing: the driver's correctness snapshot checks the
+    # FIRST 50 entries (CORRECTNESS_r02/r03 both cover exactly the first 50
+    # names in the round-3 insertion order).  The 22 entries that have never
+    # received a hard driver row therefore come first this round; the 50
+    # already-green-in-r03 entries follow.  Names themselves are frozen.
     return {
+        "trap_detect": q_trap_detect,
+        "sitemap_seeds": q_sitemap_seeds,
+        "host_reputation": q_host_reputation,
+        "incremental_dedup": q_incremental_dedup,
+        "semantic_dedup": q_semantic_dedup,
+        "link_pagerank": q_link_pagerank,
+        "focused_pagerank": q_focused_pagerank,
+        "hits_scores": q_hits_scores,
+        "anchor_texts": q_anchor_texts,
+        "warc_ingest": q_warc_ingest,
+        "url_features": q_url_features,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
+        "capped_sample": q_capped_sample,
+        "pack_sequences": q_pack_sequences,
+        "chunk_dedup": q_chunk_dedup,
+        "text_normalize": q_text_normalize,
+        "vocab_stats": q_vocab_stats,
+        "boilerplate_chunks": q_boilerplate_chunks,
+        "dup_ngrams": q_dup_ngrams,
+        "dup_span_fraction": q_dup_span_fraction,
+        "doc_keywords": q_doc_keywords,
         "url_canonicalize": q_url_canonicalize,
         "url_valid_filter": q_url_valid_filter,
         "frontier_antijoin": q_frontier_antijoin,
@@ -1687,28 +1714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_extract": q_json_extract,
         "pii_redact": q_pii_redact,
         "gopher_quality": q_gopher_quality,
-        "url_features": q_url_features,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "pack_sequences": q_pack_sequences,
-        "chunk_dedup": q_chunk_dedup,
-        "incremental_dedup": q_incremental_dedup,
-        "host_reputation": q_host_reputation,
-        "capped_sample": q_capped_sample,
-        "text_normalize": q_text_normalize,
-        "vocab_stats": q_vocab_stats,
-        "semantic_dedup": q_semantic_dedup,
-        "trap_detect": q_trap_detect,
-        "sitemap_seeds": q_sitemap_seeds,
-        "boilerplate_chunks": q_boilerplate_chunks,
-        "dup_ngrams": q_dup_ngrams,
-        "dup_span_fraction": q_dup_span_fraction,
-        "link_pagerank": q_link_pagerank,
-        "focused_pagerank": q_focused_pagerank,
-        "anchor_texts": q_anchor_texts,
-        "doc_keywords": q_doc_keywords,
-        "warc_ingest": q_warc_ingest,
-        "hits_scores": q_hits_scores,
     }
 
 

@@ -427,21 +427,63 @@ def main() -> None:
 
     scaling = run_scaling()
 
-    print(
-        json.dumps(
-            {
-                "metric": "bench_suite_seconds",
-                "value": suite_seconds,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(SF_DIR),
-                "crawl": crawl,
-                "scaleup": scaleup,
-                "skew": skew,
-                "scaling": scaling,
-            }
+    full = {
+        "metric": "bench_suite_seconds",
+        "value": suite_seconds,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+        "crawl": crawl,
+        "scaleup": scaleup,
+        "skew": skew,
+        "scaling": scaling,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    # The driver parses the LAST ≤2000 chars of stdout — the final line must
+    # be compact and final.  Full detail (reps, controls, per-level raw
+    # numbers) lives in bench_full.json; this line carries the headline
+    # figures plus the per-query map at reduced precision, degrading to the
+    # slowest queries only if the budget is ever exceeded.
+    sc4 = scaling.get(f"local[{SCALING_N * 4}]", {})
+    scn = scaling.get(f"local[{SCALING_N}]", {})
+    compact = {
+        "metric": "bench_suite_seconds",
+        "value": suite_seconds,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": _sf_of(SF_DIR),
+        "crawl": {
+            "urls_per_sec": crawl["urls_per_sec"],
+            "round_wall_sec": crawl["round_wall_sec"],
+            "urls_fetched": crawl["urls_fetched"],
+        },
+        "scaleup_linearity": scaleup["linearity"],
+        "skew": {
+            "speedup": skew["speedup"],
+            "reducer_bound_ratio": skew["reducer_bound_ratio"],
+        },
+        "scaling": {
+            "efficiency": scaling.get("efficiency"),
+            "ceiling": scaling.get("frequency_control", {}).get(
+                "ceiling_efficiency"
+            ),
+            f"pages_per_sec[{SCALING_N}]": scn.get("pages_per_sec"),
+            f"pages_per_sec[{SCALING_N * 4}]": sc4.get("pages_per_sec"),
+        },
+        "detail": "bench_full.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # keep the slowest queries, drop the rest
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:10]
         )
-    )
+        compact["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        compact["queries_truncated_to_slowest"] = 10
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -5,8 +5,11 @@ import gzip
 
 from crawler_engine_spark.sources.warc import (
     build_warc,
+    build_warc_with_index,
     iter_response_pages,
+    read_cdxj,
     read_warc_pages,
+    warc_pages_from_cdx,
     warc_response_pages,
 )
 
@@ -68,6 +71,91 @@ def test_warc_truncation_stops_at_last_whole_record():
     corrupt[first_len + 12] ^= 0xFF
     got = list(iter_response_pages(bytes(corrupt)))
     assert [u for u, *_ in got] == ["https://w.example/p0"]
+
+
+def test_warc_negative_content_length_terminates():
+    """A crafted 'Content-Length: -N' must not make the parser loop the
+    same record forever (ADVICE r03, high): WARC input is untrusted web
+    content, so malformed framing stops at the last whole record."""
+    good = build_warc(_recs(1))
+    head = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://w.example/evil\r\n"
+    )
+    # -(header_len + 4) would leave the cursor stationary in the old code
+    evil_len = -(len(head) + len(b"Content-Length: -999\r\n\r\n"))
+    evil = head + f"Content-Length: {evil_len}\r\n\r\n".encode()
+    got = list(iter_response_pages(good + evil + build_warc(_recs(2))))
+    assert [u for u, *_ in got] == ["https://w.example/p0"]
+
+
+def test_warc_index_offsets_slice_to_records():
+    recs = _recs(4)
+    for gz in (False, True):
+        blob, idx = build_warc_with_index(recs, gzip_members=gz)
+        assert build_warc(recs, gzip_members=gz) == blob
+        assert idx[0][0] == 0 and sum(ln for _, ln in idx) == len(blob)
+        for (u, t, p), (off, ln) in zip(recs, idx):
+            ((url, ts, status, payload),) = list(
+                iter_response_pages(blob[off : off + ln])
+            )
+            assert (url, ts, status, payload) == (u, t, 200, p)
+
+
+def test_warc_cdx_range_reads_match_full_scan(spark, tmp_path):
+    """The CDX-offset path returns byte-identical pages to the whole-
+    archive path, with record-granular parallelism (> #archives tasks)."""
+    import pandas as pd
+
+    n_archives, per = 2, 6
+    listing_rows = []
+    for a in range(n_archives):
+        recs = [
+            (f"https://w.example/a{a}/p{i}", _TS,
+             f"<html><body>doc {a}-{i}</body></html>".encode())
+            for i in range(per)
+        ]
+        blob, idx = build_warc_with_index(recs, gzip_members=(a % 2 == 0))
+        name = f"s{a}.warc" + (".gz" if a % 2 == 0 else "")
+        (tmp_path / name).write_bytes(blob)
+        listing_rows += [
+            (str(tmp_path / name), off, ln) for off, ln in idx
+        ]
+    cdx = spark.createDataFrame(
+        pd.DataFrame(listing_rows, columns=["warc_path", "offset", "length"])
+    )
+    got = warc_pages_from_cdx(cdx, num_partitions=8)
+    # record-scale parallelism: more tasks than archives, plan-asserted
+    assert got.rdd.getNumPartitions() == 8 > n_archives
+    full = read_warc_pages(spark, str(tmp_path))
+    a = sorted((r["url"], bytes(r["html"])) for r in got.collect())
+    b = sorted((r["url"], bytes(r["html"])) for r in full.collect())
+    assert a == b and len(a) == n_archives * per
+    # a wrong offset (mid-record) contributes zero rows, not a task failure
+    bad = spark.createDataFrame(
+        pd.DataFrame([(listing_rows[0][0], 3, 20)],
+                     columns=["warc_path", "offset", "length"])
+    )
+    assert warc_pages_from_cdx(bad).count() == 0
+
+
+def test_warc_cdxj_listing_parse(spark, tmp_path):
+    lines = [
+        'org,example)/p1 20260101000000 {"url": "https://example.org/p1", '
+        '"filename": "seg/a.warc.gz", "offset": "123", "length": "456"}',
+        "malformed line with no json",
+        'org,example)/p2 20260101000001 {"filename": "seg/b.warc.gz", '
+        '"offset": "0", "length": "9"}',
+    ]
+    (tmp_path / "idx.cdxj").write_text("\n".join(lines))
+    got = sorted(
+        (r["warc_path"], r["offset"], r["length"])
+        for r in read_cdxj(
+            spark, str(tmp_path / "idx.cdxj"), warc_root="s3://cc/"
+        ).collect()
+    )
+    assert got == [("s3://cc/seg/a.warc.gz", 123, 456),
+                   ("s3://cc/seg/b.warc.gz", 0, 9)]
 
 
 def test_warc_body_without_http_headers_kept_whole():
