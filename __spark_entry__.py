@@ -1717,6 +1717,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _lang_id_sql() -> str:
+    """lang_id oracle, GENERATED from textstats._LANG_MARKERS (single
+    source of truth — the Spark column and this SQL cannot drift): same
+    tokenization, per-language marker-hit counts (integers — exact by
+    construction, no float-epsilon compare), argmax with earliest-key
+    tie-break, 'und' when no marker hits.  Markers are import-time
+    asserted apostrophe-free, so plain SQL quoting is safe."""
+    from crawler_engine_spark.operators.textstats import _LANG_MARKERS
+
+    langs = list(_LANG_MARKERS)
+    count_cols = ",\n                   ".join(
+        "len(list_filter(ts, t -> list_contains(["
+        + ", ".join(f"'{w}'" for w in ws)
+        + f"], t))) AS c{i}"
+        for i, ws in enumerate(_LANG_MARKERS.values())
+    )
+    all_c = ", ".join(f"c{i}" for i in range(len(langs)))
+    cases = "\n                        ".join(
+        f"WHEN c{i} >= greatest("
+        + ", ".join(f"c{j}" for j in range(i + 1, len(langs)))
+        + f") THEN '{lang}'"
+        for i, lang in enumerate(langs[:-1])
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                   '[^\\p{{L}}\\p{{N}}'']+'), t -> t != '') AS ts
+          FROM documents),
+        counts AS (
+          SELECT doc_id,
+                   {count_cols}
+          FROM toks)
+        SELECT doc_id,
+               CASE WHEN greatest({all_c}) = 0 THEN 'und'
+                        {cases}
+                    ELSE '{langs[-1]}' END AS lang_pred
+        FROM counts
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     oracles = {
         "url_canonicalize": f"""
@@ -1896,31 +1937,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": """
             SELECT doc_id, substring(md5(text), 1, 16) AS fp_hex FROM documents
         """,
-        "lang_id": r"""
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text),
-                       '[^\p{L}\p{N}'']+'), t -> t != '') AS ts
-              FROM documents),
-            scores AS (
-              SELECT doc_id,
-                CAST(len(list_filter(ts, t -> list_contains(
-                  ['the','and','of','to','in','is','that','for','with','as'], t)))
-                  AS DOUBLE) / greatest(len(ts), 1) AS s_en,
-                CAST(len(list_filter(ts, t -> list_contains(
-                  ['der','die','das','und','ist','nicht','mit','ein','zu','den'], t)))
-                  AS DOUBLE) / greatest(len(ts), 1) AS s_de,
-                CAST(len(list_filter(ts, t -> list_contains(
-                  ['le','la','les','et','des','est','un','une','dans','que'], t)))
-                  AS DOUBLE) / greatest(len(ts), 1) AS s_fr
-              FROM toks)
-            SELECT doc_id,
-                   CASE WHEN s_fr > greatest(s_en, s_de, 0.0000000001) THEN 'fr'
-                        WHEN s_de > greatest(s_en, 0.0000000001) THEN 'de'
-                        WHEN s_en > 0 THEN 'en'
-                        ELSE 'und' END AS lang_pred
-            FROM scores
-        """,
+        "lang_id": _lang_id_sql(),
         # unigram_nll: identical op order; the per-doc log-prob sum runs in
         # DECIMAL(38,18) on both sides (addition-order independence).
         "unigram_nll": r"""

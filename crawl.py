@@ -275,6 +275,7 @@ def cmd_rank(args) -> None:
             iterations=args.iterations, teleport=teleport,
         )
     ranks.write.mode("overwrite").parquet(args.out)
+    linkrank.release_caches(ranks)
     n_hosts = spark.read.parquet(args.out).count()
     print(json.dumps({"command": "rank", "hosts": n_hosts,
                       "edge_inputs": len(edge_dirs), "out": args.out}))

@@ -447,11 +447,25 @@ class CrawlEngine:
     def _edges_compact_dir(self) -> str:
         return os.path.join(self.state_dir, "edges_compact")
 
+    def _edges_live_dir(self) -> Optional[str]:
+        """The directory holding a complete edge compaction: the final dir,
+        or — during the rename-aside swap window of
+        :meth:`compact_host_edges` (crash between the two renames) — the
+        ``.old`` dir it was moved to.  None when no compaction committed."""
+        final = self._edges_compact_dir()
+        for d in (final, final + ".old"):
+            if os.path.isfile(os.path.join(d, "_COMPACT")):
+                return d
+        return None
+
     def edges_compacted_upto(self) -> int:
         """Highest round covered by a committed edge compaction (-1 if
         none)."""
+        live = self._edges_live_dir()
+        if live is None:
+            return -1
         try:
-            with open(os.path.join(self._edges_compact_dir(), "_COMPACT")) as f:
+            with open(os.path.join(live, "_COMPACT")) as f:
                 return int(json.load(f)["upto_round"])
         except (OSError, ValueError, KeyError):
             return -1
@@ -476,9 +490,11 @@ class CrawlEngine:
             if os.path.isdir(d)
         ]
         final = self._edges_compact_dir()
-        base = os.path.join(final, "data")
-        if prev >= 0 and os.path.isdir(base):
-            dirs.append(base)
+        live = self._edges_live_dir()
+        if prev >= 0 and live is not None:
+            base = os.path.join(live, "data")
+            if os.path.isdir(base):
+                dirs.append(base)
         if not dirs:
             return prev
         tmp = final + ".tmp"
@@ -493,9 +509,21 @@ class CrawlEngine:
         with open(os.path.join(tmp, "_COMPACT"), "w") as f:
             json.dump({"upto_round": upto,
                        "format_version": STATE_FORMAT_VERSION}, f)
+        # swap via rename-aside, not rmtree-then-rename: a crash between a
+        # delete and the rename-in would leave only the .tmp dir, and since
+        # superseded per-round edge deltas may be retired by retention, that
+        # window could permanently lose compacted edge history (ADVICE r03).
+        # Invariant at every instant: a complete compaction exists at
+        # `final` or `final.old` (edges_compacted_upto falls back to .old);
+        # a live .old is only deleted AFTER the new final is in place.
+        old = final + ".old"
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            if os.path.isdir(old):
+                shutil.rmtree(old)
+            os.rename(final, old)
         os.rename(tmp, final)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
         return upto
 
     def _host_edge_inputs(self, committed: List[int]) -> List[str]:
@@ -503,9 +531,10 @@ class CrawlEngine:
         any) plus only the per-round deltas after it.  Duplicate pairs
         across compact and tail are harmless — pagerank distincts edges."""
         base_upto = self.edges_compacted_upto()
-        base = os.path.join(self._edges_compact_dir(), "data")
+        live = self._edges_live_dir()
+        base = os.path.join(live, "data") if live is not None else ""
         out = []
-        if base_upto >= 0 and os.path.isdir(base):
+        if base_upto >= 0 and base and os.path.isdir(base):
             out.append(base)
         else:
             base_upto = -1

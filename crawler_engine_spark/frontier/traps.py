@@ -35,8 +35,17 @@ from ..operators.urlops import host_col, url_hash_col
 DEFAULT_TRAP_THRESHOLD = 10_000
 
 
+#: digit-run sentinel used INSIDE the rule chain: a control char that never
+#: survives URL canonicalization, so the B rule can tell a collapsed digit
+#: run apart from a literal letter N (ADVICE r03: with a literal N
+#: placeholder, digit-free words like /CNN/ or /ANNUAL/ collapsed to B and
+#: merged unrelated URL families into one trap group).  Mapped to the
+#: visible 'N' by the final rule.
+_DIGIT_SENTINEL = "\x01"
+
 #: the template rules, in application order.  All RE2-compatible (no
-#: lookaheads) so the DuckDB correctness oracle can replay them verbatim.
+#: lookaheads, no backslashes) so the DuckDB correctness oracle can replay
+#: them verbatim — the raw \x01 byte embeds in SQL string literals as-is.
 PATTERN_RULES = (
     # dashed UUIDs first — the hex rule would shred them into H-xxxx-… chunks
     (
@@ -50,13 +59,16 @@ PATTERN_RULES = (
     # digit rule so mixed digit/letter hex ids collapse wholesale instead of
     # fragmenting around their digit runs
     (r"[0-9a-fA-F]{8,}", "H"),
-    # remaining digit runs
-    (r"[0-9]+", "N"),
-    # mixed alphanumeric tokens: a letter run interleaved with ≥2 digit runs
-    # (now literal N placeholders) — catches base32/base64-ish session ids
-    # that aren't pure hex, while single-N tokens (host0, v2) keep their
-    # letter identity and pure words are never touched
-    (r"[A-Za-z]*(?:N[A-Za-z]*){2,}", "B"),
+    # remaining digit runs → sentinel (becomes 'N' in the last rule)
+    ("[0-9]+", _DIGIT_SENTINEL),
+    # mixed alphanumeric tokens: a letter run interleaved with ≥2 collapsed
+    # digit runs — catches base32/base64-ish session ids that aren't pure
+    # hex; scoping the rule to the sentinel means tokens must have actually
+    # contained digits, so pure words (CNN, ANNUAL) are never touched and
+    # single-digit-run tokens (host0, v2) keep their letter identity
+    (f"[A-Za-z]*(?:{_DIGIT_SENTINEL}[A-Za-z]*){{2,}}", "B"),
+    # surviving sentinels become the visible digit placeholder
+    (_DIGIT_SENTINEL, "N"),
 )
 
 

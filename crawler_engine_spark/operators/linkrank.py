@@ -89,7 +89,8 @@ def pagerank(
     releases the internal caches before returning — the engine-loop mode,
     where the node-cardinality rank table is consumed more than once
     within a round and per-call cache hygiene matters (a crawl calls this
-    every round).
+    every round).  Non-eager results carry the internal cache handles —
+    call :func:`release_caches` on the result once it is consumed.
 
     Returns (node, rank_micro BIGINT, rank DOUBLE = round(micro/scale, 8)),
     one row per distinct node.
@@ -116,11 +117,13 @@ def pagerank(
     nodes = nodes.persist()
     n = nodes.where("_t").count()
     if n == 0:
-        return nodes.limit(0).select(
+        out = nodes.limit(0).select(
             "node",
             F.lit(0).cast("long").alias("rank_micro"),
             F.lit(0.0).alias("rank"),
-        )
+        ).localCheckpoint(eager=True)
+        nodes.unpersist()
+        return out
     init = scale // n
     base = (15 * init) // 100
     outdeg = e.groupBy("src").agg(F.count("*").alias("_od"))
@@ -161,7 +164,21 @@ def pagerank(
         out = out.localCheckpoint(eager=True)
         nodes.unpersist()
         esrc.unpersist()
+    else:
+        # non-eager callers own the internal caches (unpersisting before
+        # the caller materializes would forfeit the per-iteration reuse the
+        # persist exists for): handles ride on the result, release via
+        # release_caches(out) once consumed (ADVICE r03).
+        out._linkrank_caches = (nodes, esrc)
     return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist the internal caches a non-eager :func:`pagerank` call
+    attached to its result.  Call after the result has been materialized
+    (written/collected); no-op for eager results or foreign DataFrames."""
+    for cached in getattr(df, "_linkrank_caches", ()):
+        cached.unpersist()
 
 
 def hits(

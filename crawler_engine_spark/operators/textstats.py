@@ -17,12 +17,47 @@ def _py_tokens(text: str) -> list:
     rough = [t for t in re.split(r"[^\w']+", (text or "").lower()) if t]
     return [p for t in rough for p in t.split("_") if p]
 
-# Marker stopwords per language (n-gram-free heuristic: stopword hit ratio).
+# Marker stopwords per language (n-gram-free heuristic: stopword hit count).
+#
+# Contract (import-time asserted):
+# * marker sets are PAIRWISE DISJOINT — each token maps to exactly one
+#   language, which is what lets lang_id run as ONE map lookup per token
+#   and keeps the DuckDB oracle (generated from this table) bit-identical;
+# * no apostrophes (markers embed in SQL literals), all lowercase;
+# * 'en'/'de'/'fr' are frozen (quality_score_col's stop_ratio feeds on the
+#   'en' set, and the r01–r03 oracle history pins all three).
+#
+# Disjointness means mutually-intelligible pairs (da/no/sv, ru/uk, es/pt)
+# split on their CONTRASTING function words, not their most frequent ones —
+# a word claimed by one language never scores for its sibling.  Coverage is
+# the VERDICT r03 fix: a Common-Crawl corpus is majority non-en/de/fr, and
+# corpus_filter / host_reputation gate on this column.
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
     "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
     "fr": ["le", "la", "les", "et", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "los", "las", "por", "para", "como", "pero", "sus", "esta", "más"],
+    "pt": ["não", "uma", "são", "também", "mais", "isso", "já", "você", "pelo", "seu"],
+    "it": ["di", "che", "non", "per", "sono", "della", "anche", "gli", "più", "come"],
+    "nl": ["het", "een", "niet", "van", "voor", "zijn", "ook", "maar", "naar", "heeft"],
+    "sv": ["och", "att", "det", "som", "på", "av", "för", "har", "inte", "till"],
+    "da": ["og", "af", "ikke", "jeg", "hvad", "hvor", "være", "kan", "skal", "hvis"],
+    "no": ["å", "eller", "når", "noe", "bare", "mye", "både", "etter", "mellom", "fordi"],
+    "fi": ["ja", "on", "ei", "että", "hän", "mutta", "joka", "myös", "kun", "niin"],
+    "pl": ["nie", "się", "jest", "oraz", "tylko", "przez", "jego", "która", "żeby", "bardzo"],
+    "cs": ["je", "se", "na", "ale", "však", "této", "když", "byl", "jako", "už"],
+    "ro": ["și", "să", "nu", "cu", "este", "pentru", "care", "mai", "din", "sunt"],
+    "tr": ["ve", "bir", "bu", "için", "ile", "olarak", "daha", "çok", "gibi", "ama"],
+    "hu": ["és", "hogy", "nem", "egy", "meg", "már", "csak", "volt", "mint", "vagy"],
+    "id": ["yang", "dan", "untuk", "dengan", "ini", "itu", "tidak", "dari", "pada", "adalah"],
+    "vi": ["và", "của", "là", "có", "không", "được", "người", "trong", "những", "cũng"],
+    "ru": ["и", "в", "не", "на", "что", "это", "как", "для", "его", "было"],
+    "uk": ["і", "та", "це", "що", "але", "від", "дуже", "після", "може", "щоб"],
 }
+
+_ALL_MARKERS = [w for ws in _LANG_MARKERS.values() for w in ws]
+assert len(set(_ALL_MARKERS)) == len(_ALL_MARKERS), "marker sets must be disjoint"
+assert all("'" not in w and w == w.lower() for w in _ALL_MARKERS)
 
 
 def tokens_lower(text: Column) -> Column:
@@ -55,15 +90,56 @@ def lang_score_col(text: Column, lang: str) -> Column:
     return (hits / F.greatest(F.size(toks), F.lit(1))).cast("double")
 
 
+def _lang_counts_agg(text: Column, finish=None) -> Column:
+    """Per-language marker-hit counts as an ``array<int>`` in
+    :data:`_LANG_MARKERS` key order — ONE tokenize + ONE aggregate pass,
+    one map lookup per token (markers are disjoint, so a token belongs to
+    at most one language).  Counts, not ratios: the denominator is the
+    same for every language within a row, so argmax is unchanged, and
+    integer counts make the cross-engine compare exact by construction.
+    ``finish`` (applied to the bound accumulator variable, so the count
+    array is evaluated exactly once however often it is referenced) lets
+    the caller reduce in-place."""
+    n = len(_LANG_MARKERS)
+    marker_to_idx = F.create_map(
+        *[
+            c
+            for i, ws in enumerate(_LANG_MARKERS.values())
+            for w in ws
+            for c in (F.lit(w), F.lit(i + 1))
+        ]
+    )
+    return F.aggregate(
+        tokens_lower(text),
+        F.array_repeat(F.lit(0), n),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.sequence(F.lit(1), F.lit(n)),
+            lambda v, i: v
+            + F.coalesce((marker_to_idx[t] == i).cast("int"), F.lit(0)),
+        ),
+        finish,
+    )
+
+
+def lang_counts_col(text: Column) -> Column:
+    return _lang_counts_agg(text)
+
+
 def lang_id_col(text: Column) -> Column:
-    """argmax over per-language marker ratios; 'und' when all zero."""
-    scores = {lang: lang_score_col(text, lang) for lang in _LANG_MARKERS}
-    best_lang = F.lit("und")
-    best_score = F.lit(0.0)
-    for lang, score in scores.items():
-        best_lang = F.when(score > best_score, F.lit(lang)).otherwise(best_lang)
-        best_score = F.greatest(best_score, score)
-    return best_lang
+    """argmax over per-language marker-hit counts; ties break toward the
+    earlier :data:`_LANG_MARKERS` key (``array_position`` returns the
+    FIRST index of the max); 'und' when no marker hits at all."""
+    langs = F.array(*[F.lit(lang) for lang in _LANG_MARKERS])
+    return _lang_counts_agg(
+        text,
+        lambda acc: F.when(
+            F.array_max(acc) > 0,
+            F.element_at(
+                langs, F.array_position(acc, F.array_max(acc)).cast("int")
+            ),
+        ).otherwise(F.lit("und")),
+    )
 
 
 def quality_score_col(text: Column) -> Column:

@@ -506,10 +506,12 @@ def test_url_pattern_hardened_id_families(spark):
                 "00000000-1111-2222-3333-444455556666",
             )
         ],
-        # base64ish mixed-alphanumeric tokens (not pure hex)
+        # base64ish mixed-alphanumeric tokens (not pure hex) — the B rule
+        # requires >=2 actual digit runs (letter N's no longer count, see
+        # test_url_pattern_letter_n_words_not_collapsed)
         "b64": [
             f"https://h.example/t/{t}" for t in
-            ("dGhpcyBpc3Q1MnRva2Vu42xyz", "QWxhZGRpbjJvcGVuNHNlc2FtZQ",
+            ("dGhpcyBpc3Q1MnRva2Vu42xyz", "QWxhZGRpbjJvcGVuNHNlc2FtZTk3",
              "U2Vzc2lvbjc4OXRva2VuMTIz")
         ],
     }
@@ -527,6 +529,35 @@ def test_url_pattern_hardened_id_families(spark):
     )
     got = [r["p"] for r in df.select(url_pattern_col(F.col("u")).alias("p")).collect()]
     assert got == ["https://h.example/about-us", "https://h.example/vN/api"]
+
+
+def test_url_pattern_letter_n_words_not_collapsed(spark):
+    """Digit-free words containing literal N's must keep their identity
+    (ADVICE r03: the B rule's placeholder N was indistinguishable from a
+    literal letter N, so /CNN/ and /ANNUAL/ collapsed to /B/ and merged
+    unrelated URL families into one trap group)."""
+    from crawler_engine_spark.frontier.traps import url_pattern_col
+
+    df = spark.createDataFrame(
+        [
+            ("https://h.example/CNN/news",),
+            ("https://h.example/ANNUAL/report",),
+            ("https://h.example/UNION/NATION",),
+            # a token with digits AND letter N's still collapses to B
+            ("https://h.example/t/N1bN2cN3d",),
+            # single digit run next to letter N keeps its identity
+            ("https://h.example/CNN2024/live",),
+        ],
+        "u string",
+    )
+    got = [r["p"] for r in df.select(url_pattern_col(F.col("u")).alias("p")).collect()]
+    assert got == [
+        "https://h.example/CNN/news",
+        "https://h.example/ANNUAL/report",
+        "https://h.example/UNION/NATION",
+        "https://h.example/t/B",
+        "https://h.example/CNNN/live",
+    ]
 
 
 def test_trap_profile_flags_only_exploding_patterns(spark):
@@ -873,6 +904,21 @@ def test_host_edge_compaction_bounds_rank_read_fanin(spark, tmp_path):
     # incremental: extends over the new tail, then no-ops
     assert compacted.compact_host_edges() == 3
     assert compacted.compact_host_edges() == 3
+
+    # crash window of the rename-aside swap (ADVICE r03): a crash between
+    # the two renames leaves only edges_compact.old — readers must fall
+    # back to it, and the next compaction must recover from it.
+    final = compacted._edges_compact_dir()
+    os.rename(final, final + ".old")
+    assert compacted.edges_compacted_upto() == 3
+    assert any(
+        p.endswith("edges_compact.old/data")
+        for p in compacted._host_edge_inputs(compacted.committed_rounds())
+    )
+    compacted.run(max_rounds=1)  # round 4 adds a delta
+    assert compacted.compact_host_edges() == 4
+    assert os.path.isdir(final) and not os.path.isdir(final + ".old")
+    assert compacted.edges_compacted_upto() == 4
 
 
 def test_engine_link_rank_cadence_reuses_rank_table(spark, tmp_path):

@@ -260,6 +260,43 @@ def test_lang_id(spark):
     assert got == ["en", "de", "fr", "und"]
 
 
+def test_lang_id_wide_coverage(spark):
+    """VERDICT r03 #4: lang_id covers the top ~20 languages, not just
+    en/de/fr — a Common-Crawl corpus is majority non-en/de/fr and
+    corpus_filter / host_reputation gate on this column."""
+    samples = {
+        "es": "el mercado subió por la tarde pero los precios para sus clientes no",
+        "pt": "não sei se você também quer mais disso pelo caminho novo",
+        "it": "la qualità di questo prodotto non è per tutti anche se come sempre",
+        "nl": "het was een mooie dag maar niet voor iedereen van ons",
+        "sv": "det är viktigt att vi har ett bra samarbete för alla och inte bara",
+        "da": "jeg ved ikke hvad vi skal og hvor det kan være hvis",
+        "fi": "on tärkeää että hän tulee mutta ei vielä kun kaikki ja myös",
+        "pl": "to nie jest tylko kwestia czasu oraz tego że jego decyzja bardzo",
+        "cs": "to je ale velmi dobré když se na to podívá jako už",
+        "ro": "nu este ușor să faci asta pentru că mai sunt multe din care",
+        "tr": "bu bir deneme için çok daha iyi olarak ve gibi ama",
+        "hu": "ez már nem egy olyan nagy dolog hogy csak volt és mint vagy",
+        "id": "ini adalah hal yang sangat penting untuk kita dan tidak dari pada itu",
+        "vi": "đây là một trong những điều không thể được của người cũng và",
+        "ru": "это не так важно как то что было для его в и",
+        "uk": "це дуже важливо але може від того що і та після щоб",
+    }
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"lang": list(samples), "t": list(samples.values())})
+    )
+    got = {
+        r["lang"]: r["l"]
+        for r in df.select(
+            "lang", textstats.lang_id_col(F.col("t")).alias("l")
+        ).collect()
+    }
+    wrong = {k: v for k, v in got.items() if k != v}
+    assert not wrong, wrong
+
+
 def test_quality_score_ranges(spark, docs):
     got = docs.select(textstats.quality_score_col(F.col("text")).alias("q")).collect()
     assert all(0.0 <= r["q"] <= 1.0 for r in got)
