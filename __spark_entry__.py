@@ -1494,10 +1494,13 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text corpus (linkrank.anchor_summary) over typed link arrays
     extracted from synthesized per-source pages: a root-relative
     /d/{id%7} anchor labeled by source (resolution against the source
-    authority) plus a shared absolute hub anchor with a rotating label
-    (20-host mega-target; top_k=3 caps its 5 labels).  The oracle replays
-    resolution, (target,text) counting, and the top-k ordering in SQL;
-    top_texts is serialized '|'-joined so both engines compare strings."""
+    authority), a shared absolute hub anchor with a rotating label
+    (20-host mega-target; top_k=3 caps its 5 labels), and — r04 — two
+    document-relative anchors (``../u/{id%3}`` and ``rel/{id%4}.html``,
+    urljoin against the /d/{doc_id} base) exercising the UDF slow path.
+    The oracle replays resolution, (target,text) counting, and the top-k
+    ordering in SQL; top_texts is serialized '|'-joined so both engines
+    compare strings."""
     from crawler_engine_spark.operators import linkrank
 
     d = _t(spark, sf_dir, "documents")
@@ -1510,6 +1513,14 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"),
         F.lit('</a><a href="https://hub.example/x">hub '),
         (F.col("doc_id") % 5).cast("string"),
+        F.lit('</a><a href="../u/'),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('">up '),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit('</a><a href="rel/'),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit('.html">rel '),
+        (F.col("doc_id") % 4).cast("string"),
         F.lit("</a></article></body></html>"),
     )
     url = F.concat(
@@ -1536,6 +1547,20 @@ _ANCHOR_TEXTS_SQL = """
       SELECT source || '.docs.example' AS src_host,
              'https://hub.example/x' AS target,
              'hub ' || CAST(doc_id % 5 AS VARCHAR) AS atext
+      FROM documents
+      UNION ALL
+      -- '../u/k' against base https://{source}.docs.example/d/{doc_id}
+      SELECT source || '.docs.example' AS src_host,
+             'https://' || source || '.docs.example/u/'
+               || CAST(doc_id % 3 AS VARCHAR) AS target,
+             'up ' || CAST(doc_id % 3 AS VARCHAR) AS atext
+      FROM documents
+      UNION ALL
+      -- 'rel/m.html' against the same base: directory of /d/{doc_id} is /d/
+      SELECT source || '.docs.example' AS src_host,
+             'https://' || source || '.docs.example/d/rel/'
+               || CAST(doc_id % 4 AS VARCHAR) || '.html' AS target,
+             'rel ' || CAST(doc_id % 4 AS VARCHAR) AS atext
       FROM documents),
     stats AS (
       SELECT target, COUNT(*) AS n_refs,

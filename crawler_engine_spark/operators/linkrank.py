@@ -301,12 +301,16 @@ def anchor_summary(
     whitespace-normalized non-empty anchor texts, count-desc then
     text-asc).
 
-    Href resolution is JVM-only: absolute ``http(s)`` hrefs, and
-    root-relative ``/path`` hrefs resolved against the source's scheme +
-    authority, are aggregated; other forms (relative paths, fragments,
-    mailto/js) are dropped — the typed array keeps hrefs raw (reference
-    parity, structured_strategy.py:224-246), and the crawl's out_links
-    kernel already does full urljoin for frontier purposes.
+    Href resolution follows the out_links kernel exactly
+    (kernels.urls.resolve_href — reference parity with
+    utils/web_utils.py:70-108): ``javascript:``/``mailto:``/``tel:`` and
+    empty hrefs are skipped; everything else resolves against the source
+    URL.  Absolute ``http(s)``, root-relative ``/path``, and
+    protocol-relative ``//host/path`` hrefs resolve on a pure-JVM fast
+    path; document-relative forms (``../a.html``, ``b.html`` — the
+    majority of intra-site links on real pages, dropped before r04) go
+    through the Arrow-batched stdlib-urljoin UDF, and both branches union
+    BEFORE the one (target, text) shuffle.
 
     Scale shape: the (target, text) counts map-side combine before one
     shuffle; the per-target top-k then runs ONLY over those pre-aggregated
@@ -316,20 +320,49 @@ def anchor_summary(
     distinct anchor texts never serializes onto one reducer.  ``n_refs``
     and ``n_hosts`` are ordinary partially-aggregated groupBys.
     """
-    href = F.col("_l.href")
-    resolved = F.when(href.rlike("^https?://"), href).when(
-        href.startswith("/") & ~href.startswith("//"),
+    href = F.col("_href")
+    text_norm = F.trim(F.regexp_replace(F.col("_text"), r"\s+", " "))
+    exploded = pages.select(
+        F.col(url_col).alias("_src"), F.explode(links_col).alias("_l")
+    ).select(
+        "_src",
+        F.col("_l.href").alias("_href"),
+        F.col("_l.text").alias("_text"),
+    )
+    skip = (
+        href.isNull()
+        | (href == "")
+        | href.startswith("javascript:")
+        | href.startswith("mailto:")
+        | href.startswith("tel:")
+    )
+    is_abs = href.rlike("^https?://")
+    is_proto_rel = href.startswith("//")
+    is_root_rel = href.startswith("/") & ~is_proto_rel
+    jvm_resolved = F.when(is_abs, href).when(
+        is_root_rel,
         F.concat(
             F.regexp_extract(F.col("_src"), r"^(https?://[^/?#]*)", 1), href
         ),
+    ).when(
+        is_proto_rel,
+        F.concat(F.regexp_extract(F.col("_src"), r"^(https?):", 1),
+                 F.lit(":"), href),
     )
-    text_norm = F.trim(F.regexp_replace(F.col("_l.text"), r"\s+", " "))
+    fast = exploded.where(
+        ~skip & (is_abs | is_root_rel | is_proto_rel)
+    ).select("_src", jvm_resolved.alias("_resolved"), "_text")
+    slow = exploded.where(
+        ~skip & ~is_abs & ~is_root_rel & ~is_proto_rel
+    ).select(
+        "_src",
+        urlops.resolve_href_udf(href, F.col("_src")).alias("_resolved"),
+        "_text",
+    )
     pairs = (
-        pages.select(
-            F.col(url_col).alias("_src"), F.explode(links_col).alias("_l")
-        )
+        fast.unionByName(slow)
         .select(
-            urlops.canonical_url_col(resolved).alias("target"),
+            urlops.canonical_url_col(F.col("_resolved")).alias("target"),
             urlops.host_col(F.col("_src")).alias("src_host"),
             F.when(text_norm != "", text_norm).alias("text"),
         )

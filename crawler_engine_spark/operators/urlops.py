@@ -90,3 +90,19 @@ def canonicalize_url_udf(urls: Iterator[pd.Series]) -> Iterator[pd.Series]:
 def url_host_udf(urls: Iterator[pd.Series]) -> Iterator[pd.Series]:
     for batch in urls:
         yield batch.map(lambda u: urlkit.url_host(u) if u is not None else None)
+
+
+@pandas_udf(T.StringType())
+def resolve_href_udf(hrefs: pd.Series, bases: pd.Series) -> pd.Series:
+    """kernels.urls.resolve_href (skip js/mailto/tel, stdlib urljoin —
+    reference parity with utils/web_utils.py:70-108) over Arrow batches.
+    Python is justified: RFC 3986 dot-segment resolution has no JVM
+    column equivalent; callers keep absolute/root-relative hrefs on a
+    pure-JVM fast path and route only the rest here."""
+    return pd.Series(
+        [
+            urlkit.resolve_href(h, b) if h is not None else None
+            for h, b in zip(hrefs, bases)
+        ],
+        dtype=object,
+    )

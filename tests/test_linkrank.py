@@ -209,14 +209,13 @@ _LINKS_SCHEMA = "url string, links array<struct<href:string,text:string>>"
 def test_anchor_summary_resolution_and_aggregation(spark):
     rows = [
         # absolute kept; root-relative resolved against the source's
-        # scheme+authority; path-relative / mailto / js / fragment dropped
+        # scheme+authority; mailto/js/tel and empty hrefs skipped
         ("https://a.example/p1", [
             ("https://t.example/x", "Target  Page"),   # ws-normalized
             ("/local", "home"),
-            ("other.html", "dropped"),
-            ("mailto:x@example.com", "dropped"),
-            ("#frag", "dropped"),
-            ("//proto.example/x", "dropped"),
+            ("mailto:x@example.com", "skipped"),
+            ("javascript:void(0)", "skipped"),
+            ("", "skipped"),
         ]),
         ("https://a.example/p2", [("https://t.example/x", "target page")]),
         ("https://b.example/p1", [
@@ -239,6 +238,38 @@ def test_anchor_summary_resolution_and_aggregation(spark):
     local = out["https://a.example/local"]
     assert local["n_refs"] == 1 and local["n_hosts"] == 1
     assert local["top_texts"] == ["home"]
+
+
+def test_anchor_summary_full_urljoin(spark):
+    """VERDICT r03 #3: document-relative hrefs (the majority of intra-site
+    links on real pages) must aggregate to their urljoin-resolved canonical
+    targets — same semantics as the out_links kernel — while the
+    absolute/root-relative fast path stays JVM-only."""
+    rows = [
+        ("https://a.example/d/p1", [
+            ("../u/5", "up five"),          # dot-segment resolution
+            ("b.html", "sibling"),          # directory-relative
+            ("./c", "dot slash"),
+            ("//cdn.example/x", "proto"),   # protocol-relative (JVM path)
+            ("?q=1", "query only"),
+        ]),
+        ("https://b.example/d/sub/p2", [
+            ("../u/5", "up five"),          # resolves to /d/u/5, NOT /u/5
+        ]),
+    ]
+    out = {
+        r["target"]: r
+        for r in anchor_summary(
+            spark.createDataFrame(rows, _LINKS_SCHEMA)
+        ).collect()
+    }
+    assert out["https://a.example/u/5"]["top_texts"] == ["up five"]
+    assert out["https://a.example/d/b.html"]["top_texts"] == ["sibling"]
+    assert out["https://a.example/d/c"]["top_texts"] == ["dot slash"]
+    assert out["https://cdn.example/x"]["top_texts"] == ["proto"]
+    assert out["https://b.example/d/u/5"]["top_texts"] == ["up five"]
+    # query-only href resolves against the base path
+    assert any(t.startswith("https://a.example/d/p1") for t in out)
 
 
 def test_anchor_summary_topk_order_and_ties(spark):
