@@ -201,13 +201,25 @@ def cmd_index(args) -> None:
 def cmd_ingest(args) -> None:
     """Convert .warc/.warc.gz archives (the Common Crawl layout) into a
     page-store parquet usable by extract/crawl: url + html from HTTP-200
-    response records (keep everything with --keep-non-200)."""
+    response records (keep everything with --keep-non-200).  With --cdx
+    the archives are range-read record-by-record from a CDXJ offset index
+    (record-scale parallelism via --tasks; the at-scale path)."""
     from pyspark.sql import functions as F
 
-    from crawler_engine_spark.sources.warc import read_warc_pages
+    from crawler_engine_spark.sources.warc import (
+        read_cdxj,
+        read_warc_pages,
+        warc_pages_from_cdx,
+    )
 
+    if not args.cdx and not args.warc:
+        raise SystemExit("ingest: provide --warc (archives) or --cdx (index)")
     spark = get_spark("crawl-ingest")
-    pages = read_warc_pages(spark, args.warc)
+    if args.cdx:
+        listing = read_cdxj(spark, args.cdx, warc_root=args.warc_root)
+        pages = warc_pages_from_cdx(listing, num_partitions=args.tasks)
+    else:
+        pages = read_warc_pages(spark, args.warc)
     if not args.keep_non_200:
         pages = pages.where(F.col("http_status") == 200)
     pages.select("url", "html", "warc_ts").write.mode("overwrite").parquet(
@@ -575,8 +587,14 @@ def main() -> None:
     pin = sub.add_parser(
         "ingest", help="WARC archives (.warc/.warc.gz) → page-store parquet"
     )
-    pin.add_argument("--warc", required=True,
-                     help="directory/glob of WARC files")
+    pin.add_argument("--warc", default=None,
+                     help="directory/glob of WARC files (whole-archive mode)")
+    pin.add_argument("--cdx", default=None,
+                     help="CDXJ offset index → record-granular range reads")
+    pin.add_argument("--warc-root", default="",
+                     help="prefix for the CDX index's relative filenames")
+    pin.add_argument("--tasks", type=int, default=None,
+                     help="repartition the CDX listing to this many tasks")
     pin.add_argument("--out", required=True)
     pin.add_argument("--keep-non-200", action="store_true",
                      help="keep non-200 and headerless response records")

@@ -563,7 +563,11 @@ def incremental_new_docs(
     J=0.5 is missed with probability ≈ 0.63 — the defaults target
     J ≥ 0.8, where the miss probability is ≈ 2e-4 and falls another ~30×
     by J=0.9.  Raise ``bands`` (smaller r) to push recall toward lower J
-    at the cost of more candidate pairs."""
+    at the cost of more candidate pairs.  Where the result is gated
+    against an EXHAUSTIVE oracle (q_incremental_dedup), size the banding
+    so the per-borderline-pair miss probability is negligible: 160/80
+    (r=2) puts it at (1-J²)^80 ≤ 1e-10 for J ≥ 0.5 — an oracle compare
+    that cannot flake in practice."""
     if old_index is not None:
         num_perm = old_index.params["num_perm"]
         bands = old_index.params["bands"]
@@ -709,6 +713,8 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     driver_threshold: int = 1_000_000,
+    materialize: str = "local",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``, where
     component = the minimum node id reachable — the step between near-dup
@@ -736,11 +742,21 @@ def connected_components(
 
     Both paths return identical output (locked by
     test_connected_components_paths_agree).  Pass ``driver_threshold=0``
-    to force the distributed path."""
+    to force the distributed path.
+
+    ``materialize='reliable'`` (with ``scratch_dir``) writes the
+    distributed path's per-round label state to parquet instead of
+    ``localCheckpoint`` — checkpoint blocks are unrecoverable on executor
+    loss, so this is the mode for lossy-executor clusters (VERDICT r03
+    #5); output is identical (test-locked), the caller owns
+    ``scratch_dir``'s lifetime."""
+    from .materialize import StepMaterializer
+
+    mat = StepMaterializer(materialize, scratch_dir)
     edges0 = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     id_type = edges0.schema["src"].dataType
     if driver_threshold:
-        edges0 = edges0.localCheckpoint(eager=True)
+        edges0 = mat.cut(edges0)
         if edges0.count() <= driver_threshold:
             rows = [(r["src"], r["dst"]) for r in edges0.collect()]
             return _driver_union_find(rows, pairs.sparkSession, id_type)
@@ -748,11 +764,10 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
+    edges = mat.cut(edges)
+    labels = mat.cut(
         edges.select(F.col("src").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr = (
@@ -770,7 +785,7 @@ def connected_components(
         # node (labels start as self and only node ids propagate), and
         # label(x) ≤ x, so the inner self-join is total and monotone — this
         # halves pointer-chain depth each round (O(log diameter) total).
-        new_labels = (
+        new_labels = mat.cut(
             stepped.alias("a")
             .join(
                 stepped.select(
@@ -779,7 +794,6 @@ def connected_components(
                 F.col("a.label") == F.col("_jn"),
             )
             .select(F.col("a.node").alias("node"), F.col("_jl").alias("label"))
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")

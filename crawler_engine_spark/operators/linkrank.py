@@ -187,6 +187,8 @@ def hits(
     dst_col: str = "dst",
     iterations: int = 5,
     scale: int = 10**9,
+    materialize: str = "local",
+    scratch_dir: str | None = None,
 ) -> DataFrame:
     """Integer HITS (hubs & authorities) over a directed edge list — the
     PageRank complement: authorities are pages many hubs cite, hubs are
@@ -215,7 +217,17 @@ def hits(
     op, so per-iteration job latency is the right trade.  Returns (node,
     hub_micro, auth_micro, hub, auth), floats = micro/scale rounded
     to 8; internal caches are released before returning.
+
+    ``materialize='reliable'`` (with ``scratch_dir``) writes each
+    half-step to parquet instead of ``localCheckpoint`` — checkpoint
+    blocks are unrecoverable on executor loss, so this is the mode for
+    lossy-executor clusters (VERDICT r03 #5); results are bit-identical
+    (test-locked) and keep reading from ``scratch_dir``, which the caller
+    deletes only after consuming them.
     """
+    from .materialize import StepMaterializer
+
+    mat = StepMaterializer(materialize, scratch_dir)
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -243,23 +255,21 @@ def hits(
                 out_col: str) -> DataFrame:
         """One HITS half-step: sum `col` over edges keyed by `edge_key`,
         floor-normalize by the collected total, materialize."""
-        pre = (
+        pre = mat.cut(
             esrc.join(scores.select(F.col("node").alias(edge_key), col),
                       edge_key)
             .groupBy(F.col(out_key).alias("node"))
             .agg(F.sum(col).alias("v"))
-            .localCheckpoint(eager=True)
         )
         total = pre.agg(F.sum("v")).first()[0] or 0
         norm = max(total // scale, 1)
-        return (
+        return mat.cut(
             nodes.join(pre, "node", "left")
             .select(
                 "node",
                 F.expr(f"coalesce(v, 0L) div {norm}L")
                 .cast("long").alias(out_col),
             )
-            .localCheckpoint(eager=True)
         )
 
     h = nodes.select("node", F.lit(init).cast("long").alias("h"))
@@ -267,7 +277,7 @@ def hits(
     for _ in range(iterations):
         a = _spread(h, "h", "src", "dst", "a")
         h = _spread(a, "a", "dst", "src", "h")
-    out = (
+    out = mat.cut(
         nodes.join(h, "node")
         .join(a, "node")
         .select(
@@ -277,7 +287,6 @@ def hits(
             F.round(F.col("h") / F.lit(float(scale)), 8).alias("hub"),
             F.round(F.col("a") / F.lit(float(scale)), 8).alias("auth"),
         )
-        .localCheckpoint(eager=True)
     )
     nodes.unpersist()
     esrc.unpersist()
@@ -312,13 +321,14 @@ def anchor_summary(
     through the Arrow-batched stdlib-urljoin UDF, and both branches union
     BEFORE the one (target, text) shuffle.
 
-    Scale shape: the (target, text) counts map-side combine before one
-    shuffle; the per-target top-k then runs ONLY over those pre-aggregated
-    distinct-text rows, as a salted two-phase window (the
-    politeness.select_batch argument — every global top-k row is a top-k
-    row of its own salt partition), so a mega-target with millions of
-    distinct anchor texts never serializes onto one reducer.  ``n_refs``
-    and ``n_hosts`` are ordinary partially-aggregated groupBys.
+    Scale shape: one (target, text, src_host) pre-aggregation (map-side
+    combined, lazily checkpointed so the resolve UDF and the union run
+    once) feeds both the per-target stats rollup and the text top-k; the
+    top-k runs ONLY over pre-aggregated distinct-text rows, as a salted
+    two-phase window (the politeness.select_batch argument — every global
+    top-k row is a top-k row of its own salt partition), so a mega-target
+    with millions of distinct anchor texts never serializes onto one
+    reducer.
     """
     href = F.col("_href")
     text_norm = F.trim(F.regexp_replace(F.col("_text"), r"\s+", " "))
@@ -352,6 +362,9 @@ def anchor_summary(
     fast = exploded.where(
         ~skip & (is_abs | is_root_rel | is_proto_rel)
     ).select("_src", jvm_resolved.alias("_resolved"), "_text")
+    # the UDF lives in exactly ONE projection with no same-branch filter
+    # referencing its output — Catalyst would otherwise extract a second
+    # ArrowEvalPython for the predicate (plan-tested)
     slow = exploded.where(
         ~skip & ~is_abs & ~is_root_rel & ~is_proto_rel
     ).select(
@@ -359,23 +372,32 @@ def anchor_summary(
         urlops.resolve_href_udf(href, F.col("_src")).alias("_resolved"),
         "_text",
     )
-    pairs = (
-        fast.unionByName(slow)
-        .select(
-            urlops.canonical_url_col(F.col("_resolved")).alias("target"),
-            urlops.host_col(F.col("_src")).alias("src_host"),
-            F.when(text_norm != "", text_norm).alias("text"),
-        )
-        .where(urlops.is_valid_url_col(F.col("target")))
+    pairs = fast.unionByName(slow).select(
+        urlops.canonical_url_col(F.col("_resolved")).alias("target"),
+        urlops.host_col(F.col("_src")).alias("src_host"),
+        F.when(text_norm != "", text_norm).alias("text"),
     )
-    stats = pairs.groupBy("target").agg(
-        F.count("*").cast("long").alias("n_refs"),
+    # one (target, text, src_host) pre-aggregation feeds BOTH the
+    # per-target stats and the text top-k; it is lazily checkpointed so
+    # the two consumers scan one materialization instead of each
+    # re-running the union (and its resolve UDF) — the minhash_banded
+    # pattern.  The validity filter runs on the aggregated rows (same
+    # result: validity is a pure function of target), keeping the UDF
+    # projection filter-free.
+    g1 = (
+        pairs.groupBy("target", "text", "src_host")
+        .agg(F.count("*").alias("_c"))
+        .where(urlops.is_valid_url_col(F.col("target")))
+        .localCheckpoint(eager=False)
+    )
+    stats = g1.groupBy("target").agg(
+        F.sum("_c").cast("long").alias("n_refs"),
         F.countDistinct("src_host").cast("long").alias("n_hosts"),
     )
     tc = (
-        pairs.where(F.col("text").isNotNull())
+        g1.where(F.col("text").isNotNull())
         .groupBy("target", "text")
-        .agg(F.count("*").cast("long").alias("cnt"))
+        .agg(F.sum("_c").cast("long").alias("cnt"))
     )
     w1 = Window.partitionBy("target", "_salt").orderBy(
         F.col("cnt").desc(), F.col("text")

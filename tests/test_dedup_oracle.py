@@ -296,6 +296,40 @@ def test_connected_components_paths_agree(spark):
     assert fast == dist and len(fast) == 13 + 3 + 2
 
 
+def test_connected_components_reliable_materialization(spark, tmp_path):
+    """materialize='reliable' (per-round label state written to parquet,
+    executor-loss-safe — VERDICT r03 #5) must return exactly what the
+    localCheckpoint mode returns, and must actually write step state."""
+    import os
+
+    edges = (
+        [(i, i + 1) for i in range(12)]
+        + [(100, 101), (101, 102), (100, 102)]
+        + [(200, 201)]
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    local = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(df, driver_threshold=0).collect()
+    }
+    scratch = str(tmp_path / "cc_scratch")
+    reliable = {
+        (r["node"], r["component"])
+        for r in dedup.connected_components(
+            df, driver_threshold=0, materialize="reliable",
+            scratch_dir=scratch,
+        ).collect()
+    }
+    assert reliable == local
+    steps = [d for d in os.listdir(scratch) if d.startswith("step_")]
+    assert len(steps) >= 3  # edges + initial labels + >=1 round
+    # reliable without a scratch dir is a loud error, not a silent local
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.connected_components(df, materialize="reliable")
+
+
 def test_connected_components_string_ids(spark):
     """Non-integer node ids (URL-keyed dedup, crawl.py corpus --id-col on a
     URL column) must work on BOTH paths — the driver fast path used to

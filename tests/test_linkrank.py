@@ -148,6 +148,29 @@ def test_hits_matches_pure_python_exactly(spark):
         assert abs(r["auth"] - r["auth_micro"] / 10**9) <= 5e-9
 
 
+def test_hits_reliable_materialization_identical(spark, tmp_path):
+    """materialize='reliable' (half-steps written to parquet instead of
+    localCheckpoint — executor-loss-safe, VERDICT r03 #5) is bit-identical
+    to the local mode and actually writes per-step state."""
+    import os
+
+    edges = spark.createDataFrame(_mixed_graph(), "src long, dst long")
+    local = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits(edges, iterations=3).collect()
+    }
+    scratch = str(tmp_path / "hits_scratch")
+    reliable = {
+        r["node"]: (r["hub_micro"], r["auth_micro"])
+        for r in hits(
+            edges, iterations=3, materialize="reliable", scratch_dir=scratch
+        ).collect()
+    }
+    assert reliable == local
+    # 2 cuts per half-step x 2 half-steps x 3 iterations + the final out
+    assert len([d for d in os.listdir(scratch) if d.startswith("step_")]) == 13
+
+
 def test_hits_structure_directory_vs_authority(spark):
     """A directory node pointing at every authority gets the top hub
     score and zero authority; the most-cited node gets the top authority

