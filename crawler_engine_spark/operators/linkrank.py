@@ -332,13 +332,17 @@ def anchor_summary(
     """
     href = F.col("_href")
     text_norm = F.trim(F.regexp_replace(F.col("_text"), r"\s+", " "))
+    # the fast/slow branches below both consume this projection; without a
+    # cut, the union would evaluate the (typically expensive — extraction
+    # output) `pages` plan once per branch.  The checkpointed rows are
+    # anchor-cardinality and three strings wide.
     exploded = pages.select(
         F.col(url_col).alias("_src"), F.explode(links_col).alias("_l")
     ).select(
         "_src",
         F.col("_l.href").alias("_href"),
         F.col("_l.text").alias("_text"),
-    )
+    ).localCheckpoint(eager=False)
     skip = (
         href.isNull()
         | (href == "")

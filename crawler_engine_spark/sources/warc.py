@@ -49,6 +49,11 @@ WARC_PAGE_SCHEMA = (
     "warc_path string"
 )
 
+#: parsed pages are yielded to Arrow in chunks of this many rows, so the
+#: kernels' peak Python memory is one chunk of pages (plus the input row),
+#: never a whole archive batch worth of parsed records
+_OUT_CHUNK_ROWS = 1000
+
 
 # --------------------------------------------------------------------------
 # pure-Python framing kernel (unit-testable without Spark)
@@ -200,16 +205,19 @@ def warc_response_pages(files: DataFrame, path_col: str = "path",
     ``extract_pages`` (url + html contract) or a frontier page store."""
     import pandas as pd
 
+    cols = ["url", "warc_ts", "http_status", "html", "warc_path"]
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for path, raw in zip(pdf[path_col], pdf[content_col]):
                 for url, ts, status, payload in iter_response_pages(bytes(raw)):
                     rows.append((url, ts, status, payload, path))
-            yield pd.DataFrame(
-                rows,
-                columns=["url", "warc_ts", "http_status", "html", "warc_path"],
-            )
+                    if len(rows) >= _OUT_CHUNK_ROWS:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return files.mapInPandas(parse, WARC_PAGE_SCHEMA)
 
@@ -291,7 +299,11 @@ def warc_pages_from_cdx(
                             raw
                         ):
                             rows.append((url, ts, status, payload, path))
-            yield pd.DataFrame(rows, columns=cols)
+                        if len(rows) >= _OUT_CHUNK_ROWS:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
 
     return listing.mapInPandas(parse, WARC_PAGE_SCHEMA)
 
