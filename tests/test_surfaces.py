@@ -483,3 +483,49 @@ def test_stream_politeness_overflow_emitted_unadmitted(spark, tmp_path):
     assert sorted(r["canonical_url"] for r in admitted_rows) == [
         "https://h.example/p0", "https://h.example/p1",
     ]
+
+
+def test_bench_compact_line_fits_driver_capture():
+    """The driver parses the last 2,000 chars of bench.py's stdout; the
+    final JSON line must fit with margin even if the catalog doubles, and
+    must keep the contract fields (BENCH_r03 was unparseable because the
+    line outgrew the capture)."""
+    import json
+
+    import bench
+
+    def fake_full(n_queries):
+        return {
+            "metric": "bench_suite_seconds",
+            "value": 123.456,
+            "unit": "sec",
+            "queries": {
+                f"some_quite_long_query_name_{i:03d}": i + 0.123
+                for i in range(n_queries)
+            },
+            "sf": 0.1,
+            "crawl": {"urls_per_sec": 32.51, "round_wall_sec": 7.54,
+                      "urls_fetched": 735, "rounds": 3, "seconds": 21.2},
+            "scaleup": {"linearity": 0.991},
+            "skew": {"speedup": 2.46, "reducer_bound_ratio": 7.99,
+                     "frontier_rows": 12000000},
+            "scaling": {
+                f"local[{bench.SCALING_N}]": {"pages_per_sec": 895.9,
+                                              "reps": [1, 2, 3]},
+                f"local[{bench.SCALING_N * 4}]": {"pages_per_sec": 3907.6,
+                                                  "reps": [1, 2, 3]},
+                "efficiency": 1.09,
+                "frequency_control": {"ceiling_efficiency": 0.872},
+            },
+        }
+
+    for n in (52, 72, 100, 200):
+        line = bench.compact_line(fake_full(n))
+        assert len(line) <= 1900, (n, len(line))
+        d = json.loads(line)
+        for k in ("metric", "value", "unit", "queries", "sf"):
+            assert k in d
+        # degradation keeps the slowest queries when the catalog explodes
+        if "queries_truncated_to_slowest" in d:
+            assert len(d["queries"]) == 10
+            assert f"some_quite_long_query_name_{n-1:03d}" in d["queries"]
