@@ -1271,7 +1271,10 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") % 300).cast("long").alias("src"),
         (F.col("o_orderkey") % 300).cast("long").alias("dst"),
     )
-    return linkrank.pagerank(edges, iterations=10)
+    # eager: the driver/bench harnesses drop the returned DataFrame after
+    # materializing it and never call release_caches, so the non-eager
+    # mode would leak the node/edge caches for the rest of the session
+    return linkrank.pagerank(edges, iterations=10, eager=True)
 
 
 def _pagerank_sql(iterations: int = 10, scale: int = 10**12,
@@ -1489,7 +1492,8 @@ def q_focused_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("node") % 10 == 0)
         .distinct()
     )
-    return linkrank.pagerank(edges, iterations=10, teleport=tele)
+    # eager for the same cache-hygiene reason as q_link_pagerank
+    return linkrank.pagerank(edges, iterations=10, teleport=tele, eager=True)
 
 
 def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -438,9 +438,14 @@ def main() -> None:
         "skew": skew,
         "scaling": scaling,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "bench_full.json"), "w") as f:
-        json.dump(full, f, indent=1)
+    # best-effort: a read-only checkout must not cost us the final line
+    # (the driver parses stdout; the detail file is a bonus)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError as exc:
+        print(f"bench_full.json not written: {exc}", file=sys.stderr)
 
     print(compact_line(full))
 

@@ -247,15 +247,14 @@ def cmd_rank(args) -> None:
         if d.startswith("round=")
         and os.path.exists(os.path.join(root, d, "_COMMIT"))
     )
-    # compact-aware enumeration (same rule as the engine's rerank): the
-    # committed edge compact plus only the per-round deltas after it
-    base_upto, edge_dirs = -1, []
-    try:
-        with open(os.path.join(args.state, "edges_compact", "_COMPACT")) as f:
-            base_upto = int(json.load(f)["upto_round"])
-        edge_dirs.append(os.path.join(args.state, "edges_compact", "data"))
-    except (OSError, ValueError, KeyError):
-        base_upto = -1
+    # compact-aware enumeration (same rule as the engine's rerank), via the
+    # shared reader so the rename-aside swap's .old fallback applies here
+    # too — a hand-rolled reader that only checks edges_compact would fall
+    # back to per-round deltas that retention may have retired
+    from crawler_engine_spark.frontier.rounds import edges_compact_live
+
+    base_upto, base = edges_compact_live(args.state)
+    edge_dirs = [base] if base is not None else []
     edge_dirs += [
         d
         for k in committed

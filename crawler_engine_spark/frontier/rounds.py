@@ -109,6 +109,28 @@ class CrawlConfig:
     link_rank_every: int = 1
 
 
+def edges_compact_live(state_dir: str) -> "tuple[int, Optional[str]]":
+    """(upto_round, data_dir) of the committed edge compaction under
+    ``state_dir`` — the ONE reader every consumer (engine rerank,
+    ``crawl.py rank``) must go through, because it honors the rename-aside
+    swap's ``.old`` fallback: between the two renames of
+    :meth:`CrawlEngine.compact_host_edges` only ``edges_compact.old`` is
+    complete, and a reader that only checks ``edges_compact`` would
+    silently fall back to per-round deltas that retention may already have
+    retired.  Returns (-1, None) when no compaction is committed."""
+    final = os.path.join(state_dir, "edges_compact")
+    for d in (final, final + ".old"):
+        try:
+            with open(os.path.join(d, "_COMPACT")) as f:
+                upto = int(json.load(f)["upto_round"])
+        except (OSError, ValueError, KeyError):
+            continue
+        data = os.path.join(d, "data")
+        if os.path.isdir(data):
+            return upto, data
+    return -1, None
+
+
 class CrawlEngine:
     """Round-based distributed crawler over a static page store
     (fetch-simulate: ``page.goto(url)`` becomes a join against the Iceberg/
@@ -461,14 +483,7 @@ class CrawlEngine:
     def edges_compacted_upto(self) -> int:
         """Highest round covered by a committed edge compaction (-1 if
         none)."""
-        live = self._edges_live_dir()
-        if live is None:
-            return -1
-        try:
-            with open(os.path.join(live, "_COMPACT")) as f:
-                return int(json.load(f)["upto_round"])
-        except (OSError, ValueError, KeyError):
-            return -1
+        return edges_compact_live(self.state_dir)[0]
 
     def compact_host_edges(self, upto_round: Optional[int] = None) -> int:
         """Consolidate the per-round host→host edge deltas ≤ upto_round
@@ -530,11 +545,9 @@ class CrawlEngine:
         """Edge-delta dirs for a rank recompute: the committed compact (if
         any) plus only the per-round deltas after it.  Duplicate pairs
         across compact and tail are harmless — pagerank distincts edges."""
-        base_upto = self.edges_compacted_upto()
-        live = self._edges_live_dir()
-        base = os.path.join(live, "data") if live is not None else ""
+        base_upto, base = edges_compact_live(self.state_dir)
         out = []
-        if base_upto >= 0 and base and os.path.isdir(base):
+        if base is not None:
             out.append(base)
         else:
             base_upto = -1

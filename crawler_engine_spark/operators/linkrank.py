@@ -310,11 +310,13 @@ def anchor_summary(
     whitespace-normalized non-empty anchor texts, count-desc then
     text-asc).
 
-    Href resolution follows the out_links kernel exactly
+    Href resolution follows the out_links kernel
     (kernels.urls.resolve_href — reference parity with
     utils/web_utils.py:70-108): ``javascript:``/``mailto:``/``tel:`` and
-    empty hrefs are skipped; everything else resolves against the source
-    URL.  Absolute ``http(s)``, root-relative ``/path``, and
+    empty hrefs are skipped — plus, corpus-specifically, fragment-only
+    ``#...`` hrefs (they always resolve to the source page itself and
+    would flood the corpus with self-labels); everything else resolves
+    against the source URL.  Absolute ``http(s)``, root-relative ``/path``, and
     protocol-relative ``//host/path`` hrefs resolve on a pure-JVM fast
     path; document-relative forms (``../a.html``, ``b.html`` — the
     majority of intra-site links on real pages, dropped before r04) go
@@ -349,6 +351,13 @@ def anchor_summary(
         | href.startswith("javascript:")
         | href.startswith("mailto:")
         | href.startswith("tel:")
+        # fragment-only hrefs can never reference a DIFFERENT document —
+        # keeping them (urljoin resolves to the source page, canonical
+        # strips the fragment) would let every in-page TOC link inflate
+        # the page's own n_refs/top_texts with self-labels.  out_links
+        # keeps them for frontier purposes (the seen-set dedupes); an
+        # anchor-text CORPUS must not.
+        | href.startswith("#")
     )
     is_abs = href.rlike("^https?://")
     is_proto_rel = href.startswith("//")

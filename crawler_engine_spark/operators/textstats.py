@@ -56,8 +56,14 @@ _LANG_MARKERS = {
 }
 
 _ALL_MARKERS = [w for ws in _LANG_MARKERS.values() for w in ws]
-assert len(set(_ALL_MARKERS)) == len(_ALL_MARKERS), "marker sets must be disjoint"
-assert all("'" not in w and w == w.lower() for w in _ALL_MARKERS)
+# ValueError, not assert: the SQL oracle generator depends on this contract,
+# and asserts vanish under `python -O` — a duplicated marker would then make
+# the two engines silently diverge instead of failing at import
+if len(set(_ALL_MARKERS)) != len(_ALL_MARKERS):
+    _dupes = sorted({w for w in _ALL_MARKERS if _ALL_MARKERS.count(w) > 1})
+    raise ValueError(f"_LANG_MARKERS sets must be disjoint; duplicated: {_dupes}")
+if any("'" in w or w != w.lower() for w in _ALL_MARKERS):
+    raise ValueError("_LANG_MARKERS must be lowercase and apostrophe-free")
 
 
 def tokens_lower(text: Column) -> Column:

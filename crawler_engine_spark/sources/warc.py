@@ -295,13 +295,17 @@ def warc_pages_from_cdx(
                     for off, ln in zip(grp["offset"], grp["length"]):
                         f.seek(int(off))
                         raw = f.read(int(ln))
+                        # flush inside the record loop: a listing row may
+                        # legitimately cover many records (e.g. a whole
+                        # archive as one slice), and the one-chunk memory
+                        # bound must hold for that case too
                         for url, ts, status, payload in iter_response_pages(
                             raw
                         ):
                             rows.append((url, ts, status, payload, path))
-                        if len(rows) >= _OUT_CHUNK_ROWS:
-                            yield pd.DataFrame(rows, columns=cols)
-                            rows = []
+                            if len(rows) >= _OUT_CHUNK_ROWS:
+                                yield pd.DataFrame(rows, columns=cols)
+                                rows = []
             if rows:
                 yield pd.DataFrame(rows, columns=cols)
 
@@ -314,9 +318,14 @@ def read_cdxj(
     """Common Crawl CDXJ index lines (``urlkey timestamp {json}``) →
     the (warc_path, offset, length) listing :func:`warc_pages_from_cdx`
     consumes.  Pure JVM (text scan + get_json_object); ``warc_root`` is
-    prefixed onto the index's relative ``filename`` field."""
+    prefixed onto the index's relative ``filename`` field — the published
+    filenames are bucket-relative paths, so a non-empty root gets a
+    trailing ``/`` if it lacks one ('s3://cc' and 's3://cc/' behave the
+    same instead of producing a malformed 's3://ccseg/...')."""
     from pyspark.sql import functions as F
 
+    if warc_root and not warc_root.endswith("/"):
+        warc_root += "/"
     j = F.regexp_extract(F.col("value"), r"(\{.*\})", 1)
     return (
         spark.read.text(path)

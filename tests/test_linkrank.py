@@ -238,6 +238,7 @@ def test_anchor_summary_resolution_and_aggregation(spark):
             ("/local", "home"),
             ("mailto:x@example.com", "skipped"),
             ("javascript:void(0)", "skipped"),
+            ("#frag", "skipped"),  # fragment-only = self-reference
             ("", "skipped"),
         ]),
         ("https://a.example/p2", [("https://t.example/x", "target page")]),

@@ -148,14 +148,16 @@ def test_warc_cdxj_listing_parse(spark, tmp_path):
         '"offset": "0", "length": "9"}',
     ]
     (tmp_path / "idx.cdxj").write_text("\n".join(lines))
-    got = sorted(
-        (r["warc_path"], r["offset"], r["length"])
-        for r in read_cdxj(
-            spark, str(tmp_path / "idx.cdxj"), warc_root="s3://cc/"
-        ).collect()
-    )
-    assert got == [("s3://cc/seg/a.warc.gz", 123, 456),
-                   ("s3://cc/seg/b.warc.gz", 0, 9)]
+    # root with and without trailing slash must behave identically
+    for root in ("s3://cc/", "s3://cc"):
+        got = sorted(
+            (r["warc_path"], r["offset"], r["length"])
+            for r in read_cdxj(
+                spark, str(tmp_path / "idx.cdxj"), warc_root=root
+            ).collect()
+        )
+        assert got == [("s3://cc/seg/a.warc.gz", 123, 456),
+                       ("s3://cc/seg/b.warc.gz", 0, 9)]
 
 
 def test_warc_body_without_http_headers_kept_whole():
