@@ -1749,13 +1749,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def _lang_id_sql() -> str:
-    """lang_id oracle, GENERATED from textstats._LANG_MARKERS (single
-    source of truth — the Spark column and this SQL cannot drift): same
-    tokenization, per-language marker-hit counts (integers — exact by
-    construction, no float-epsilon compare), argmax with earliest-key
-    tie-break, 'und' when no marker hits.  Markers are import-time
-    asserted apostrophe-free, so plain SQL quoting is safe."""
-    from crawler_engine_spark.operators.textstats import _LANG_MARKERS
+    """lang_id oracle, GENERATED from textstats._LANG_MARKERS +
+    _SCRIPT_BLOCKS/_MARKER_SCRIPT_RANGES (single source of truth — the
+    Spark column and this SQL cannot drift): Unicode-script char counts
+    first (kana attributes Han to 'ja'; script wins when it strictly
+    outnumbers Latin+Cyrillic letters), else the same tokenization +
+    per-language marker-hit counts (integers — exact by construction, no
+    float-epsilon compare), argmax with earliest-key tie-break, 'und' when
+    no marker hits.  Markers are import-time asserted apostrophe-free and
+    script ranges regex-class-safe, so plain SQL quoting is safe; all
+    ranges are BMP so DuckDB's code-point length == Spark's UTF-16
+    length."""
+    from crawler_engine_spark.operators.textstats import (
+        _LANG_MARKERS,
+        _MARKER_SCRIPT_RANGES,
+        _SCRIPT_BLOCKS,
+        _range_class_inner,
+    )
 
     langs = list(_LANG_MARKERS)
     count_cols = ",\n                   ".join(
@@ -1771,6 +1781,37 @@ def _lang_id_sql() -> str:
         + f") THEN '{lang}'"
         for i, lang in enumerate(langs[:-1])
     )
+
+    def cnt(ranges):
+        return (
+            "length(regexp_replace(text, '[^"
+            + _range_class_inner(ranges)
+            + "]', '', 'g'))"
+        )
+
+    skeys = list(_SCRIPT_BLOCKS)
+    zi, ji = skeys.index("zh"), skeys.index("ja")
+    script_cols = ",\n                 ".join(
+        f"{cnt(rs)} AS r{i}" for i, rs in enumerate(_SCRIPT_BLOCKS.values())
+    )
+    score_defs = []
+    for i, k in enumerate(skeys):
+        if k == "zh":
+            score_defs.append(f"CASE WHEN r{ji} > 0 THEN 0 ELSE r{zi} END AS s{i}")
+        elif k == "ja":
+            score_defs.append(
+                f"CASE WHEN r{ji} > 0 THEN r{zi} + r{ji} ELSE 0 END AS s{i}"
+            )
+        else:
+            score_defs.append(f"r{i} AS s{i}")
+    score_cols = ",\n                 ".join(score_defs)
+    all_s = ", ".join(f"s{i}" for i in range(len(skeys)))
+    scases = "\n                          ".join(
+        f"WHEN s{i} >= greatest("
+        + ", ".join(f"s{j}" for j in range(i + 1, len(skeys)))
+        + f") THEN '{lang}'"
+        for i, lang in enumerate(skeys[:-1])
+    )
     return f"""
         WITH toks AS (
           SELECT doc_id,
@@ -1780,12 +1821,24 @@ def _lang_id_sql() -> str:
         counts AS (
           SELECT doc_id,
                    {count_cols}
-          FROM toks)
+          FROM toks),
+        scripts AS (
+          SELECT doc_id,
+                 {cnt(_MARKER_SCRIPT_RANGES)} AS mk,
+                 {script_cols}
+          FROM documents),
+        sscore AS (
+          SELECT doc_id, mk,
+                 {score_cols}
+          FROM scripts)
         SELECT doc_id,
-               CASE WHEN greatest({all_c}) = 0 THEN 'und'
+               CASE WHEN greatest({all_s}) > mk THEN
+                      CASE {scases}
+                           ELSE '{skeys[-1]}' END
+                    WHEN greatest({all_c}) = 0 THEN 'und'
                         {cases}
                     ELSE '{langs[-1]}' END AS lang_pred
-        FROM counts
+        FROM counts JOIN sscore USING (doc_id)
     """
 
 

@@ -65,6 +65,67 @@ if len(set(_ALL_MARKERS)) != len(_ALL_MARKERS):
 if any("'" in w or w != w.lower() for w in _ALL_MARKERS):
     raise ValueError("_LANG_MARKERS must be lowercase and apostrophe-free")
 
+# Unicode-script char-count classification (VERDICT r04 #2): the marker table
+# above is structurally blind to non-space-delimited / non-Latin scripts — a
+# real Common-Crawl corpus is a large fraction zh/ja/ko/ar/hi/th/el/he, and
+# those all tokenized to zero marker hits and fell to 'und' (which
+# corpus_filter / host_reputation then gate on).  Script identification runs
+# AHEAD of the marker argmax: count characters per script block (pure
+# regexp_replace+length columns — one regex pass per block, each evaluated
+# exactly once via the aggregate bind in lang_id_col), classify by script
+# when script chars outnumber the Latin+Cyrillic letters the marker
+# languages are written in, else fall through to the marker argmax.
+#
+# Contract (mirrored verbatim by the generated DuckDB oracle — see
+# __spark_entry__._lang_id_sql):
+# * all ranges are BMP (Spark length() counts UTF-16 code units, DuckDB
+#   counts code points; BMP-only keeps them identical);
+# * Japanese claims Han: kana presence is the zh/ja discriminator — when
+#   any Hiragana/Katakana char exists the Han count scores for 'ja' and
+#   'zh' scores 0, else Han scores for 'zh' (deterministic, disjoint);
+# * ties break toward the earlier key, same rule as the marker argmax.
+_SCRIPT_BLOCKS = {
+    "zh": [(0x4E00, 0x9FFF)],                    # CJK Unified Ideographs (Han)
+    "ja": [(0x3040, 0x309F), (0x30A0, 0x30FF)],  # Hiragana + Katakana
+    "ko": [(0xAC00, 0xD7A3), (0x1100, 0x11FF)],  # Hangul syllables + Jamo
+    "ar": [(0x0600, 0x06FF), (0x0750, 0x077F)],  # Arabic + supplement
+    "hi": [(0x0900, 0x097F)],                    # Devanagari
+    "th": [(0x0E00, 0x0E7F)],                    # Thai
+    "el": [(0x0370, 0x03FF)],                    # Greek and Coptic
+    "he": [(0x0590, 0x05FF)],                    # Hebrew
+}
+# The scripts the marker languages are written in: ASCII letters, Latin-1 +
+# Latin Extended-A/B, Latin Extended Additional (Vietnamese diacritics),
+# Cyrillic.  This is the count the script argmax must BEAT to win — a doc
+# that is mostly English with one CJK quote stays on the marker path.
+_MARKER_SCRIPT_RANGES = [
+    (0x0041, 0x005A),
+    (0x0061, 0x007A),
+    (0x00C0, 0x024F),
+    (0x1E00, 0x1EFF),
+    (0x0400, 0x04FF),
+]
+if any(
+    not (0x41 <= a <= b <= 0xFFFF)
+    for rs in list(_SCRIPT_BLOCKS.values()) + [_MARKER_SCRIPT_RANGES]
+    for a, b in rs
+):
+    raise ValueError("script ranges must be BMP and regex-class-safe (>= U+0041)")
+if set(_SCRIPT_BLOCKS) & set(_LANG_MARKERS):
+    raise ValueError("script-block languages must not overlap marker languages")
+
+
+def _range_class_inner(ranges: list) -> str:
+    """``a-bc-d`` literal-char range body for a regex char class — valid in
+    both Java regex (Spark) and RE2 (DuckDB); all chars are >= U+0041 so no
+    class metacharacter escaping is needed (import-time asserted)."""
+    return "".join(f"{chr(a)}-{chr(b)}" for a, b in ranges)
+
+
+def script_count_col(text: Column, ranges: list) -> Column:
+    """Count of chars inside ``ranges``: strip everything outside, length."""
+    return F.length(F.regexp_replace(text, f"[^{_range_class_inner(ranges)}]", ""))
+
 
 def tokens_lower(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"[^\p{L}\p{N}']+"), lambda t: t != "")
@@ -139,7 +200,7 @@ def lang_counts_col(text: Column) -> Column:
     return _lang_counts_agg(text)
 
 
-def lang_id_col(text: Column) -> Column:
+def _marker_lang_id_col(text: Column) -> Column:
     """argmax over per-language marker-hit counts; ties break toward the
     earlier :data:`_LANG_MARKERS` key (``array_position`` returns the
     FIRST index of the max); 'und' when no marker hits at all."""
@@ -152,6 +213,57 @@ def lang_id_col(text: Column) -> Column:
                 langs, F.array_position(acc, F.array_max(acc)).cast("int")
             ),
         ).otherwise(F.lit("und")),
+    )
+
+
+def lang_id_col(text: Column) -> Column:
+    """Two-stage language ID, all pure JVM columns.
+
+    Stage 1 (script): count chars per :data:`_SCRIPT_BLOCKS` block; when the
+    winning script's count strictly exceeds the Latin+Cyrillic letter count
+    (:data:`_MARKER_SCRIPT_RANGES`), classify by script — kana presence
+    attributes Han to 'ja', else Han scores 'zh'; ties break toward the
+    earlier block key.  Stage 2 (fallthrough, and the only stage that ran
+    before r05): the marker-stopword argmax over :data:`_LANG_MARKERS`,
+    'und' on zero hits — unchanged for Latin/Cyrillic text, which has zero
+    script-block chars and therefore never takes stage 1.
+
+    The nine per-block counts are each one regexp_replace+length pass over
+    the text; the single-element ``aggregate`` binds the count array so
+    every count evaluates exactly ONCE however often the decision tree
+    references it (the :func:`_lang_counts_agg` finish trick — an unbound
+    ``when`` tree re-runs each regex per reference, measured 3-4x).  The
+    marker aggregate sits in the CASE's otherwise-branch, so script-classified
+    rows never tokenize."""
+    keys = list(_SCRIPT_BLOCKS)
+    counts = F.array(
+        *[script_count_col(text, rs) for rs in _SCRIPT_BLOCKS.values()],
+        script_count_col(text, _MARKER_SCRIPT_RANGES),
+    )
+    script_langs = F.array(*[F.lit(k) for k in keys])
+
+    def finish(acc: Column) -> Column:
+        c = lambda i: F.element_at(acc, i + 1)
+        han, kana = c(keys.index("zh")), c(keys.index("ja"))
+        scores = []
+        for i, k in enumerate(keys):
+            if k == "zh":
+                scores.append(F.when(kana > 0, F.lit(0)).otherwise(han))
+            elif k == "ja":
+                scores.append(F.when(kana > 0, han + kana).otherwise(F.lit(0)))
+            else:
+                scores.append(c(i))
+        sarr = F.array(*scores)
+        smax = F.array_max(sarr)
+        pick = F.element_at(
+            script_langs, F.array_position(sarr, smax).cast("int")
+        )
+        return F.when(smax > c(len(keys)), pick).otherwise(
+            _marker_lang_id_col(text)
+        )
+
+    return F.aggregate(
+        F.array(counts), F.array().cast("array<int>"), lambda acc, x: x, finish
     )
 
 
