@@ -185,10 +185,22 @@ def cmd_expire(args) -> None:
 def cmd_index(args) -> None:
     """Build a snapshot's persistable dedup index (banded MinHash
     projection + content digests): the signature work a later
-    `corpus --ops incremental` ingest then never repeats."""
+    `corpus --ops incremental` ingest then never repeats.  With --merge,
+    compact existing indexes into one instead (no signature work) so a
+    pile of weekly snapshot indexes stays one read per ingest."""
     from crawler_engine_spark.operators import dedup
 
+    if bool(args.docs) == bool(args.merge):
+        raise SystemExit("index: provide exactly one of --docs or --merge")
     spark = get_spark("crawl-index")
+    if args.merge:
+        params = dedup.merge_lsh_index(spark, args.merge.split(","), args.out)
+        print(json.dumps({
+            "command": "index", "merged": args.merge.split(","),
+            "out": args.out, **params,
+        }))
+        spark.stop()
+        return
     df = spark.read.parquet(args.docs)
     params = dedup.write_lsh_index(
         df, args.out, args.text_col, args.id_col,
@@ -216,8 +228,21 @@ def cmd_ingest(args) -> None:
         raise SystemExit("ingest: provide --warc (archives) or --cdx (index)")
     spark = get_spark("crawl-ingest")
     if args.cdx:
-        listing = read_cdxj(spark, args.cdx, warc_root=args.warc_root)
-        pages = warc_pages_from_cdx(listing, num_partitions=args.tasks)
+        statuses = (
+            [int(s) for s in args.cdx_status.split(",")]
+            if args.cdx_status else None
+        )
+        mimes = args.cdx_mime.split(",") if args.cdx_mime else None
+        listing = read_cdxj(
+            spark, args.cdx, warc_root=args.warc_root,
+            statuses=statuses, mimes=mimes,
+        )
+        from crawler_engine_spark.sources.warc import DEFAULT_MAX_SLICE_BYTES
+
+        pages = warc_pages_from_cdx(
+            listing, num_partitions=args.tasks,
+            max_slice_bytes=args.max_slice_bytes or DEFAULT_MAX_SLICE_BYTES,
+        )
     else:
         pages = read_warc_pages(spark, args.warc)
     if not args.keep_non_200:
@@ -594,6 +619,18 @@ def main() -> None:
                      help="prefix for the CDX index's relative filenames")
     pin.add_argument("--tasks", type=int, default=None,
                      help="repartition the CDX listing to this many tasks")
+    pin.add_argument("--cdx-status", default=None, metavar="200,301",
+                     help="listing pushdown: only range-read records whose "
+                          "CDX status is in this comma list (rows without "
+                          "the field still read; post-parse filter still "
+                          "applies)")
+    pin.add_argument("--cdx-mime", default=None, metavar="text/html",
+                     help="listing pushdown on the CDX mime field "
+                          "(comma list; same null-keeps semantics)")
+    pin.add_argument("--max-slice-bytes", type=int, default=None,
+                     help="skip listing rows with a larger length as "
+                          "malformed (memory guard for corrupt indexes; "
+                          "default: warc.DEFAULT_MAX_SLICE_BYTES)")
     pin.add_argument("--out", required=True)
     pin.add_argument("--keep-non-200", action="store_true",
                      help="keep non-200 and headerless response records")
@@ -656,7 +693,11 @@ def main() -> None:
     pix = sub.add_parser(
         "index", help="build a persistable LSH dedup index for a snapshot"
     )
-    pix.add_argument("--docs", required=True, help="parquet with id+text columns")
+    pix.add_argument("--docs", default=None,
+                     help="parquet with id+text columns")
+    pix.add_argument("--merge", default=None, metavar="IDX1,IDX2[,...]",
+                     help="compact existing indexes into --out instead of "
+                          "building one (params must match)")
     pix.add_argument("--out", required=True, help="index output directory")
     pix.add_argument("--id-col", default="doc_id")
     pix.add_argument("--text-col", default="text")

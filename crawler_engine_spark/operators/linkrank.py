@@ -167,18 +167,54 @@ def pagerank(
     else:
         # non-eager callers own the internal caches (unpersisting before
         # the caller materializes would forfeit the per-iteration reuse the
-        # persist exists for): handles ride on the result, release via
-        # release_caches(out) once consumed (ADVICE r03).
-        out._linkrank_caches = (nodes, esrc)
+        # persist exists for): handles ride on the result — release via
+        # release_caches(out) on the EXACT returned object (transformations
+        # drop the attribute), or release_caches() with no argument, which
+        # works through the module registry regardless (ADVICE r03/r04).
+        out = _own_caches(out, (nodes, esrc))
     return out
 
 
-def release_caches(df: DataFrame) -> None:
-    """Unpersist the internal caches a non-eager :func:`pagerank` call
-    attached to its result.  Call after the result has been materialized
-    (written/collected); no-op for eager results or foreign DataFrames."""
+#: Every internal persist a non-eager operator in this module hands to its
+#: caller is ALSO recorded here, so ``release_caches()`` (no argument) can
+#: release them even when the handle-carrying DataFrame is gone — the
+#: ``_linkrank_caches`` attribute does NOT survive transformations (any
+#: .select/.where/.repartition returns a new object without it).
+_REGISTERED_CACHES: list = []
+
+
+def _own_caches(out: DataFrame, handles: tuple) -> DataFrame:
+    out._linkrank_caches = tuple(handles)
+    _REGISTERED_CACHES.extend(handles)
+    return out
+
+
+def release_caches(df: DataFrame | None = None) -> None:
+    """Unpersist internal caches this module handed to callers.
+
+    With ``df``: release the handles riding on that EXACT object — the
+    ``_linkrank_caches`` attribute is dropped by every DataFrame
+    transformation, so this form MUST be called on the object
+    :func:`pagerank` / :func:`anchor_summary` returned, before any
+    .select/.where/.repartition, or it silently does nothing.
+
+    With no argument: release every internal persist this module has
+    registered since the last release — the transformation-proof form
+    (safe to call at any point: persisted data is recomputable, releasing
+    early only forfeits reuse, never correctness)."""
+    if df is None:
+        while _REGISTERED_CACHES:
+            try:
+                _REGISTERED_CACHES.pop().unpersist()
+            except Exception:
+                pass
+        return
     for cached in getattr(df, "_linkrank_caches", ()):
         cached.unpersist()
+        try:
+            _REGISTERED_CACHES.remove(cached)
+        except ValueError:
+            pass
 
 
 def hits(
@@ -324,8 +360,10 @@ def anchor_summary(
     BEFORE the one (target, text) shuffle.
 
     Scale shape: one (target, text, src_host) pre-aggregation (map-side
-    combined, lazily checkpointed so the resolve UDF and the union run
-    once) feeds both the per-target stats rollup and the text top-k; the
+    combined, eagerly persisted so the resolve UDF and the union run once
+    with recomputable lineage; its handle rides on the result — see
+    :func:`release_caches`) feeds both the per-target stats rollup and the
+    text top-k; the
     top-k runs ONLY over pre-aggregated distinct-text rows, as a salted
     two-phase window (the politeness.select_batch argument — every global
     top-k row is a top-k row of its own salt partition), so a mega-target
@@ -336,15 +374,20 @@ def anchor_summary(
     text_norm = F.trim(F.regexp_replace(F.col("_text"), r"\s+", " "))
     # the fast/slow branches below both consume this projection; without a
     # cut, the union would evaluate the (typically expensive — extraction
-    # output) `pages` plan once per branch.  The checkpointed rows are
-    # anchor-cardinality and three strings wide.
+    # output) `pages` plan once per branch.  persist + eager fill runs the
+    # upstream exactly once BEFORE the two branch scans exist, with
+    # recomputable lineage — the r04 lazy localCheckpoint pinned these rows
+    # in unrecoverable executor blocks for the rest of the session (ADVICE
+    # r04); this cache is released as soon as g1 is materialized below.
+    # The cached rows are anchor-cardinality and three strings wide.
     exploded = pages.select(
         F.col(url_col).alias("_src"), F.explode(links_col).alias("_l")
     ).select(
         "_src",
         F.col("_l.href").alias("_href"),
         F.col("_l.text").alias("_text"),
-    ).localCheckpoint(eager=False)
+    ).persist()
+    exploded.count()
     skip = (
         href.isNull()
         | (href == "")
@@ -391,18 +434,31 @@ def anchor_summary(
         F.when(text_norm != "", text_norm).alias("text"),
     )
     # one (target, text, src_host) pre-aggregation feeds BOTH the
-    # per-target stats and the text top-k; it is lazily checkpointed so
-    # the two consumers scan one materialization instead of each
-    # re-running the union (and its resolve UDF) — the minhash_banded
-    # pattern.  The validity filter runs on the aggregated rows (same
-    # result: validity is a pure function of target), keeping the UDF
-    # projection filter-free.
-    g1 = (
+    # per-target stats and the text top-k; persist + eager fill gives the
+    # two consumers one materialization instead of each re-running the
+    # union (and its resolve UDF) — the minhash_banded pattern, with
+    # recomputable lineage instead of session-lifetime unrecoverable
+    # checkpoint blocks (ADVICE r04).  Once g1 is filled the exploded
+    # cache has no further consumer and is released immediately; g1's own
+    # handle rides on the result (and the module registry) for
+    # release_caches once the caller has consumed the stats/top-k.  The
+    # validity filter is applied ABOVE the materialized aggregate, never
+    # inside its lineage: inside, Catalyst pushes it below the union into
+    # the slow branch, where the predicate references the resolve UDF's
+    # output and gets its own second ArrowEvalPython — the UDF then runs
+    # twice per document-relative anchor (r04 shipped exactly that,
+    # invisible behind the checkpoint cut; surfaced and plan-locked by
+    # test_linkrank_plans when the cut became a persist).  On cached rows
+    # the filter is a plain string predicate on a materialized column —
+    # same result, validity is a pure function of target.
+    g1_all = (
         pairs.groupBy("target", "text", "src_host")
         .agg(F.count("*").alias("_c"))
-        .where(urlops.is_valid_url_col(F.col("target")))
-        .localCheckpoint(eager=False)
+        .persist()
     )
+    g1_all.count()
+    exploded.unpersist()
+    g1 = g1_all.where(urlops.is_valid_url_col(F.col("target")))
     stats = g1.groupBy("target").agg(
         F.sum("_c").cast("long").alias("n_refs"),
         F.countDistinct("src_host").cast("long").alias("n_hosts"),
@@ -432,7 +488,7 @@ def anchor_summary(
             ).alias("top_texts")
         )
     )
-    return stats.join(top, "target", "left").select(
+    out = stats.join(top, "target", "left").select(
         "target",
         "n_refs",
         "n_hosts",
@@ -440,6 +496,7 @@ def anchor_summary(
             "top_texts"
         ),
     )
+    return _own_caches(out, (g1_all,))
 
 
 def apply_link_rank(

@@ -172,12 +172,22 @@ def build_warc_with_index(
 ) -> Tuple[bytes, List[Tuple[int, int]]]:
     """:func:`build_warc` plus the per-record (offset, length) listing —
     the CDX-index twin, so tests/world-gen can exercise the range-read
-    ingest path against known-true offsets."""
+    ingest path against known-true offsets.  Records are (url, ts,
+    payload) or (url, ts, payload, status[, mime]) — the long forms let
+    the CDX status/mime pushdown tests build mixed-status archives."""
     out = []
     index: List[Tuple[int, int]] = []
     pos = 0
-    for url, ts, payload in records:
-        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + payload
+    for rec in records:
+        url, ts, payload = rec[:3]
+        status = rec[3] if len(rec) > 3 else 200
+        mime = rec[4] if len(rec) > 4 else "text/html"
+        reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
+            status, "Status"
+        )
+        http = (
+            f"HTTP/1.1 {status} {reason}\r\nContent-Type: {mime}\r\n\r\n"
+        ).encode("ascii") + payload
         head = (
             f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: {url}\r\n"
             f"WARC-Date: {ts}\r\nContent-Length: {len(http)}\r\n\r\n"
@@ -234,7 +244,27 @@ def read_warc_pages(spark: SparkSession, path: str) -> DataFrame:
 # CDX-offset range reads (record-granular ingest parallelism)
 # --------------------------------------------------------------------------
 
-CDX_LISTING_SCHEMA = "warc_path string, offset bigint, length bigint"
+CDX_LISTING_SCHEMA = (
+    "warc_path string, offset bigint, length bigint, "
+    "status int, mime string"
+)
+
+#: Observability hooks (the MINHASH_CALL_COUNTER pattern — set to
+#: ``SparkContext.accumulator(0)`` BEFORE calling warc_pages_from_cdx; the
+#: accumulator rides the kernel closure to the workers).  SLICE counts every
+#: range read performed; OVERSIZE counts listing rows skipped as malformed
+#: by ``max_slice_bytes``.  This is how the pushdown test proves filtered
+#: listing rows are never opened: monkeypatching module globals does not
+#: reach executor processes, a captured accumulator does.
+CDX_SLICE_READ_COUNTER = None
+CDX_OVERSIZE_COUNTER = None
+
+#: Default per-slice read cap: one Common Crawl segment archive is ~1 GiB,
+#: and a legitimate listing row never covers more than one archive — a
+#: larger length is a corrupt or adversarial index entry that would load
+#: multi-GB into ONE task's memory, defeating the documented one-record
+#: peak-memory bound (ADVICE r04).
+DEFAULT_MAX_SLICE_BYTES = 2 << 30
 
 
 def _open_range_source(path: str):
@@ -257,6 +287,7 @@ def warc_pages_from_cdx(
     path_col: str = "warc_path",
     offset_col: str = "offset",
     length_col: str = "length",
+    max_slice_bytes: int = DEFAULT_MAX_SLICE_BYTES,
 ) -> DataFrame:
     """(warc_path, offset, length) listing rows → one row per HTTP
     response record, range-reading each record/gzip-member individually:
@@ -273,6 +304,11 @@ def warc_pages_from_cdx(
     a gzip member, the Common Crawl CDX contract); a slice that parses to
     nothing — wrong offset, truncated tail — contributes zero rows rather
     than failing the task, matching the stop-at-last-whole-record rule.
+    A slice whose listed length exceeds ``max_slice_bytes`` (or is
+    non-positive) is counted as malformed under the same rule and never
+    read — a corrupt or adversarial index length must not load multi-GB
+    into one task's memory (ADVICE r04); the default admits any
+    legitimate Common Crawl slice up to two whole segment archives.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -285,6 +321,9 @@ def warc_pages_from_cdx(
     if num_partitions:
         listing = listing.repartition(num_partitions)
     listing = listing.sortWithinPartitions("warc_path", "offset")
+    # captured at construction, serialized into the worker closure
+    read_counter = CDX_SLICE_READ_COUNTER
+    oversize_counter = CDX_OVERSIZE_COUNTER
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "warc_ts", "http_status", "html", "warc_path"]
@@ -293,6 +332,12 @@ def warc_pages_from_cdx(
             for path, grp in pdf.groupby("warc_path", sort=False):
                 with _open_range_source(path) as f:
                     for off, ln in zip(grp["offset"], grp["length"]):
+                        if int(ln) <= 0 or int(ln) > max_slice_bytes:
+                            if oversize_counter is not None:
+                                oversize_counter.add(1)
+                            continue
+                        if read_counter is not None:
+                            read_counter.add(1)
                         f.seek(int(off))
                         raw = f.read(int(ln))
                         # flush inside the record loop: a listing row may
@@ -313,21 +358,36 @@ def warc_pages_from_cdx(
 
 
 def read_cdxj(
-    spark: SparkSession, path: str, warc_root: str = ""
+    spark: SparkSession,
+    path: str,
+    warc_root: str = "",
+    statuses: list | None = None,
+    mimes: list | None = None,
 ) -> DataFrame:
     """Common Crawl CDXJ index lines (``urlkey timestamp {json}``) →
-    the (warc_path, offset, length) listing :func:`warc_pages_from_cdx`
-    consumes.  Pure JVM (text scan + get_json_object); ``warc_root`` is
-    prefixed onto the index's relative ``filename`` field — the published
-    filenames are bucket-relative paths, so a non-empty root gets a
-    trailing ``/`` if it lacks one ('s3://cc' and 's3://cc/' behave the
-    same instead of producing a malformed 's3://ccseg/...')."""
+    the (warc_path, offset, length, status, mime) listing
+    :func:`warc_pages_from_cdx` consumes.  Pure JVM (text scan +
+    get_json_object); ``warc_root`` is prefixed onto the index's relative
+    ``filename`` field — the published filenames are bucket-relative
+    paths, so a non-empty root gets a trailing ``/`` if it lacks one
+    ('s3://cc' and 's3://cc/' behave the same instead of producing a
+    malformed 's3://ccseg/...').
+
+    ``statuses`` / ``mimes`` push the published per-record ``status`` and
+    ``mime`` fields down into the LISTING (VERDICT r04 #4): a filtered
+    row's record is never range-read at all — ~15-20% of a real CC
+    snapshot is non-200 — instead of being parsed and discarded
+    post-GET.  Rows whose index lacks the field (NULL) are KEPT: the
+    pushdown is an optimization under the consumer's post-parse filter
+    (``crawl.py ingest`` still applies ``http_status == 200``), never a
+    semantic change, so an absent field must fall through to the parse,
+    not silently drop the record."""
     from pyspark.sql import functions as F
 
     if warc_root and not warc_root.endswith("/"):
         warc_root += "/"
     j = F.regexp_extract(F.col("value"), r"(\{.*\})", 1)
-    return (
+    out = (
         spark.read.text(path)
         .select(
             F.concat(
@@ -335,6 +395,8 @@ def read_cdxj(
             ).alias("warc_path"),
             F.get_json_object(j, "$.offset").cast("long").alias("offset"),
             F.get_json_object(j, "$.length").cast("long").alias("length"),
+            F.get_json_object(j, "$.status").cast("int").alias("status"),
+            F.get_json_object(j, "$.mime").alias("mime"),
         )
         .where(
             F.col("warc_path").isNotNull()
@@ -342,3 +404,13 @@ def read_cdxj(
             & F.col("length").isNotNull()
         )
     )
+    if statuses:
+        out = out.where(
+            F.col("status").isNull()
+            | F.col("status").isin([int(s) for s in statuses])
+        )
+    if mimes:
+        out = out.where(
+            F.col("mime").isNull() | F.col("mime").isin(list(mimes))
+        )
+    return out

@@ -262,6 +262,63 @@ def test_incremental_new_docs_semantics(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [5, 7]
 
 
+def test_lsh_index_merge_equivalence(spark, tmp_path):
+    """VERDICT r04 #6 (index lifecycle): merge([a, b]) must be row-set
+    identical to an index built over docs_a ∪ docs_b — including when a
+    document appears in BOTH snapshots (re-dedup) — must refuse
+    parameter-mismatched inputs and in-place output, and must be usable
+    as the old_index of an ingest with identical results."""
+    from crawler_engine_spark.operators import dedup
+
+    docs_a = [(i, f"snapshot a document {i} shared words {i % 5}")
+              for i in range(10)]
+    docs_b = [(100 + i, f"snapshot b document {i} other words {i % 4}")
+              for i in range(8)]
+    a = spark.createDataFrame(docs_a, "doc_id long, text string")
+    # snapshot b re-contains one of a's documents verbatim
+    b = spark.createDataFrame(docs_b + [docs_a[7]], "doc_id long, text string")
+    pa, pb, pm, pu = (str(tmp_path / n) for n in ("a", "b", "m", "u"))
+    dedup.write_lsh_index(a, pa, "text", "doc_id")
+    dedup.write_lsh_index(b, pb, "text", "doc_id")
+    params = dedup.merge_lsh_index(spark, [pa, pb], pm)
+    assert params["num_perm"] == 64 and params["id_col"] == "doc_id"
+
+    dedup.write_lsh_index(a.union(b).distinct(), pu, "text", "doc_id")
+    merged, union_idx = (dedup.read_lsh_index(spark, p) for p in (pm, pu))
+    key = lambda df: sorted(tuple(r) for r in df.collect())
+    assert key(merged.banded) == key(union_idx.banded)
+    assert key(merged.digests) == key(union_idx.digests)
+
+    new = spark.createDataFrame(
+        [(500, docs_b[3][1]),  # exact dup of the b side
+         (501, "entirely fresh content that matches no snapshot at all")],
+        "doc_id long, text string",
+    )
+    both = a.union(b).distinct()
+    via_merged = dedup.incremental_new_docs(
+        new, both, "text", "doc_id", threshold=0.5, old_index=merged
+    )
+    via_union = dedup.incremental_new_docs(
+        new, both, "text", "doc_id", threshold=0.5, old_index=union_idx
+    )
+    assert (
+        sorted(r["doc_id"] for r in via_merged.collect())
+        == sorted(r["doc_id"] for r in via_union.collect())
+        == [501]
+    )
+
+    import pytest as _pytest
+
+    pc = str(tmp_path / "c")
+    dedup.write_lsh_index(a, pc, "text", "doc_id", num_perm=32, bands=8)
+    with _pytest.raises(ValueError, match="params"):
+        dedup.merge_lsh_index(spark, [pa, pc], str(tmp_path / "x"))
+    with _pytest.raises(ValueError, match="inputs"):
+        dedup.merge_lsh_index(spark, [pa, pb], pa)
+    with _pytest.raises(ValueError, match="at least two"):
+        dedup.merge_lsh_index(spark, [pa], str(tmp_path / "y"))
+
+
 def test_lsh_index_skips_old_side_signatures(spark, tmp_path):
     """Two successive ingest batches against ONE written index: results
     match the recompute path exactly, and the plan proves the old side is

@@ -312,6 +312,44 @@ def test_anchor_summary_topk_order_and_ties(spark):
     assert row["n_refs"] == 8 and row["n_hosts"] == 1
 
 
+def test_release_caches_exact_object_and_registry(spark):
+    """ADVICE r04: release_caches(df) only works on the EXACT returned
+    object (transformations drop the handle attribute); release_caches()
+    with no argument must release every registered internal persist
+    regardless — and anchor_summary's internal caches must not outlive
+    the call beyond the single pre-agg handle it hands back."""
+    from pyspark.storagelevel import StorageLevel
+
+    from crawler_engine_spark.operators import linkrank
+
+    edges = spark.createDataFrame(_mixed_graph(), "src long, dst long")
+    out = pagerank(edges, iterations=2)
+    handles = out._linkrank_caches
+    assert len(handles) == 2
+    assert all(h.storageLevel != StorageLevel.NONE for h in handles)
+    transformed = out.select("node")  # attribute does NOT survive this
+    assert not hasattr(transformed, "_linkrank_caches")
+    linkrank.release_caches(transformed)  # legacy form: silent no-op
+    assert all(h.storageLevel != StorageLevel.NONE for h in handles)
+    linkrank.release_caches()  # registry form: releases regardless
+    assert all(h.storageLevel == StorageLevel.NONE for h in handles)
+
+    rows = [("https://a.example/p", [("https://t.example/x", "t"),
+                                     ("rel/doc.html", "r")])]
+    out = anchor_summary(spark.createDataFrame(rows, _LINKS_SCHEMA))
+    (g1_all,) = out._linkrank_caches
+    assert g1_all.storageLevel != StorageLevel.NONE
+    got = out.collect()
+    assert {r["target"] for r in got} == {
+        "https://t.example/x", "https://a.example/rel/doc.html"
+    }
+    linkrank.release_caches(out)  # exact object: releases the handle
+    assert g1_all.storageLevel == StorageLevel.NONE
+    # the exploded projection was released inside anchor_summary already:
+    # nothing this module registered is still persisted
+    assert not linkrank._REGISTERED_CACHES
+
+
 def test_pagerank_checkpoint_cadence_is_result_identical(spark):
     edges = spark.createDataFrame(_mixed_graph(), "src long, dst long")
     plain = {r["node"]: r["rank_micro"] for r in pagerank(edges).collect()}

@@ -55,6 +55,32 @@ def test_minhash_finds_near_duplicates(spark):
     assert sorted(r["doc_id"] for r in deduped.collect()) == [1, 3]
 
 
+def test_minhash_self_join_signs_once(spark):
+    """r05 cut-policy: the banded projection behind the candidate self-join
+    is persisted and eagerly filled — the signature UDF runs exactly ONCE
+    per document, before the join's two scans exist, and repeated
+    materializations of the (cached) candidate set never re-sign.  Plan
+    strings can't see through caches; the accumulator in the UDF closure
+    can (the MINHASH_CALL_COUNTER pattern)."""
+    docs = [
+        (i, f"document number {i} with some shared words and tail {i % 3}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    acc = spark.sparkContext.accumulator(0)
+    dedup.MINHASH_CALL_COUNTER = acc
+    try:
+        pairs = dedup.minhash_lsh_candidates(
+            df, "text", "doc_id", num_perm=64, bands=16
+        )
+        assert acc.value == len(docs), acc.value  # eager fill: one pass
+        pairs.collect()
+        pairs.collect()
+        assert acc.value == len(docs), acc.value  # consumers read the cache
+    finally:
+        dedup.MINHASH_CALL_COUNTER = None
+
+
 def test_minhash_jaccard_estimate_accuracy(spark):
     """MinHash signature agreement should approximate true Jaccard."""
     a = " ".join(f"w{i}" for i in range(100))

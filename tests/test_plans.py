@@ -161,10 +161,15 @@ def test_bucket_cap_adds_no_join_shuffle(spark):
         [(i, f"some words {i} repeated here {i % 7}") for i in range(50)],
         "doc_id long, text string",
     )
-    plain = dedup.minhash_lsh_candidates(d, "text", "doc_id", 64, 32)
-    capped = dedup.minhash_lsh_candidates(
-        d, "text", "doc_id", 64, 32, max_bucket_size=10
-    )
+    # compare the LAZY join plans through the internal helper:
+    # minhash_lsh_candidates itself now persists + eagerly fills the banded
+    # projection (r05 cut-policy: recomputable cache instead of
+    # unrecoverable checkpoint blocks), and cached plans print their
+    # subtree per scan, which makes string-level Exchange counts on the
+    # public function meaningless
+    banded = dedup.minhash_banded(d, "text", "doc_id", 64, 32)
+    plain = dedup._lsh_pair_join(dedup._cap_buckets(banded, None))
+    capped = dedup._lsh_pair_join(dedup._cap_buckets(banded, 10))
     assert _plan(capped).count("Exchange") == _plan(plain).count("Exchange")
 
 
@@ -332,15 +337,30 @@ def test_linkrank_plans(spark):
         [("https://a.example/p", [("https://t.example/x", "t")])],
         "url string, links array<struct<href:string,text:string>>",
     )
-    p = _plan(linkrank.anchor_summary(pages))
-    # r04: document-relative hrefs resolve via an Arrow-batched urljoin UDF
-    # on the slow branch ONLY, and the (target,text,src_host) pre-agg is
-    # lazily checkpointed so its two consumers (stats + top-k) share one
-    # materialization — explain hides the checkpointed subtree, so at most
-    # one Arrow node is visible and never a row-at-a-time BatchEvalPython;
-    # the downstream rollup/window subtrees stay salted and exchange-free
-    # of single-partition collapses.
-    assert p.count("ArrowEvalPython") <= 1
+    out = linkrank.anchor_summary(pages)
+    p = _plan(out)
+    # r05: the (target,text,src_host) pre-agg is eagerly persisted (its two
+    # consumers share one recomputable materialization) and the validity
+    # filter applies ABOVE the cache — inside the lineage Catalyst pushed
+    # it below the union into the slow branch, where the predicate
+    # referenced the resolve UDF's output and earned a SECOND stacked
+    # ArrowEvalPython (the UDF then ran twice per document-relative
+    # anchor; r04's checkpoint hid exactly that).  The cached pre-agg plan
+    # must therefore hold ONE Arrow node, never a row-at-a-time
+    # BatchEvalPython; the downstream rollup/window subtrees stay salted
+    # and free of single-partition collapses.
+    import re
+
+    (g1_all,) = out._linkrank_caches
+    cached = _plan(g1_all)
+    # double-eval shows up as two distinct Arrow nodes with distinct
+    # pythonUDF bindings (one for the projection, one for the extracted
+    # predicate); cached-plan printing repeats identical subtrees, so count
+    # DISTINCT instances, not string occurrences — require exactly one
+    assert len(set(re.findall(r"pythonUDF\d+#\d+", cached))) == 1, cached
+    assert len(set(re.findall(r"resolve_href_udf\([^)]*\)#(\d+)", p))) == 1, p
+    assert len(set(re.findall(r"pythonUDF\d+#\d+", p))) == 1, p
     assert "BatchEvalPython" not in p
     assert "SinglePartition" not in p
     assert "NestedLoop" not in p
+    linkrank.release_caches(out)

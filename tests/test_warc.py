@@ -160,6 +160,106 @@ def test_warc_cdxj_listing_parse(spark, tmp_path):
                        ("s3://cc/seg/b.warc.gz", 0, 9)]
 
 
+def _mixed_status_fixture(spark, tmp_path):
+    """Archive with 200/404/301 records + a CDXJ whose third record lacks
+    the status field (old-index shape).  Returns (cdxj_path, n_records)."""
+    import json
+
+    from crawler_engine_spark.sources import warc as warc_mod
+
+    recs = [
+        ("https://w.example/ok", _TS, b"<html><body>keep me</body></html>", 200),
+        ("https://w.example/gone", _TS, b"<html>404 page</html>", 404),
+        ("https://w.example/moved", _TS, b"", 301),
+        ("https://w.example/nostatus", _TS,
+         b"<html><body>also 200, but the index omits status</body></html>",
+         200),
+    ]
+    blob, idx = build_warc_with_index(recs)
+    (tmp_path / "s.warc").write_bytes(blob)
+    lines = []
+    for (url, _, _, status), (off, ln) in zip(recs, idx):
+        j = {"url": url, "filename": "s.warc",
+             "offset": str(off), "length": str(ln),
+             "mime": "text/html"}
+        if url != "https://w.example/nostatus":
+            j["status"] = str(status)
+        lines.append(f"x)/{url.rsplit('/', 1)[1]} 20260101000000 "
+                     + json.dumps(j))
+    p = tmp_path / "idx.cdxj"
+    p.write_text("\n".join(lines))
+    return str(p), len(recs)
+
+
+def test_cdx_status_pushdown_skips_range_reads(spark, tmp_path):
+    """VERDICT r04 #4: a status-filtered listing row's record is NEVER
+    range-read (slice-read accumulator), and the pushdown is output-
+    identical to post-parse filtering — null-status rows fall through to
+    the parse rather than being dropped."""
+    from crawler_engine_spark.sources import warc as warc_mod
+
+    cdxj, n = _mixed_status_fixture(spark, tmp_path)
+    root = str(tmp_path) + "/"
+
+    def run(statuses):
+        acc = spark.sparkContext.accumulator(0)
+        warc_mod.CDX_SLICE_READ_COUNTER = acc
+        try:
+            listing = read_cdxj(spark, cdxj, warc_root=root,
+                                statuses=statuses)
+            pages = warc_pages_from_cdx(listing).collect()
+        finally:
+            warc_mod.CDX_SLICE_READ_COUNTER = None
+        return acc.value, sorted(
+            (r["url"], r["http_status"], bytes(r["html"])) for r in pages
+        )
+
+    reads_all, all_pages = run(None)
+    assert reads_all == n == 4
+    reads_pushed, pushed_pages = run([200])
+    # 404 and 301 rows never opened; the status-less row still read
+    assert reads_pushed == 2
+    post = [p for p in all_pages if p[1] == 200]
+    assert pushed_pages == post  # identical to post-parse filtering
+    # mime pushdown takes the same path
+    listing = read_cdxj(spark, cdxj, warc_root=root, mimes=["image/png"])
+    assert listing.count() == 0
+    listing = read_cdxj(spark, cdxj, warc_root=root, mimes=["text/html"])
+    assert listing.count() == n
+
+
+def test_cdx_oversized_length_counts_malformed(spark, tmp_path):
+    """ADVICE r04: a corrupt/adversarial CDX length larger than
+    max_slice_bytes is never read (memory guard) and counts as malformed;
+    well-formed rows are unaffected."""
+    import pandas as pd
+
+    from crawler_engine_spark.sources import warc as warc_mod
+
+    recs = [(f"https://w.example/p{i}", _TS,
+             f"<html>{i}</html>".encode()) for i in range(3)]
+    blob, idx = build_warc_with_index(recs)
+    path = tmp_path / "s.warc"
+    path.write_bytes(blob)
+    rows = [(str(path), off, ln) for off, ln in idx]
+    rows.append((str(path), 0, 50 << 30))  # 50 GiB claimed length
+    rows.append((str(path), 0, -7))        # negative length
+    cdx = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["warc_path", "offset", "length"])
+    )
+    acc_read = spark.sparkContext.accumulator(0)
+    acc_bad = spark.sparkContext.accumulator(0)
+    warc_mod.CDX_SLICE_READ_COUNTER = acc_read
+    warc_mod.CDX_OVERSIZE_COUNTER = acc_bad
+    try:
+        got = warc_pages_from_cdx(cdx, max_slice_bytes=1 << 20).collect()
+    finally:
+        warc_mod.CDX_SLICE_READ_COUNTER = None
+        warc_mod.CDX_OVERSIZE_COUNTER = None
+    assert acc_read.value == 3 and acc_bad.value == 2
+    assert sorted(r["url"] for r in got) == [u for u, _, _ in recs]
+
+
 def test_warc_body_without_http_headers_kept_whole():
     raw = b"raw payload, no HTTP header block"
     blob = (
