@@ -1668,30 +1668,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering is load-bearing: the driver's correctness snapshot checks the
-    # FIRST 50 entries (CORRECTNESS_r02/r03 both cover exactly the first 50
-    # names in the round-3 insertion order).  The 22 entries that have never
-    # received a hard driver row therefore come first this round; the 50
-    # already-green-in-r03 entries follow.  Names themselves are frozen.
+    # FIRST 50 entries.  Rotation rule (COVERAGE.md; VERDICT r04 #1): each
+    # round the 50 checked slots go to (a) every entry whose implementation
+    # changed this round, directly or transitively, then (b) the entries
+    # with the OLDEST driver rows, then (c) fill.  Round 5: positions 1-6
+    # are this round's touched set (lang_id script stage; the minhash /
+    # incremental-dedup cut-policy rework; anchor_summary's persist +
+    # filter-above-cache rewrite; corpus_filter transitively via both),
+    # 7-25 the remaining r03-only rows, 26-50 fill.  Positions 51-72 are
+    # untouched-since-r02 pure-column/JVM queries, all driver-green in
+    # r04.  Names themselves are frozen.
     return {
+        # --- (a) touched this round -------------------------------------
+        "lang_id": q_lang_id,
+        "corpus_filter": q_corpus_filter,
+        "minhash_near_dup": q_minhash_near_dup,
+        "near_dup_clusters": q_near_dup_clusters,
+        "incremental_dedup": q_incremental_dedup,
+        "anchor_texts": q_anchor_texts,
+        # --- (b) oldest driver rows (r03-only) ---------------------------
+        "minhash_signatures": q_minhash_signatures,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "media_features": q_media_features,
+        "extract_structured": q_extract_structured,
+        "extract_adaptive": q_extract_adaptive,
+        "extract_semantic": q_extract_semantic,
+        "extract_rule_based": q_extract_rule_based,
+        "extract_hybrid": q_extract_hybrid,
+        "extract_custom": q_extract_custom,
+        "rule_stats": q_rule_stats,
+        "rule_most_used": q_rule_most_used,
+        "extract_outlinks": q_extract_outlinks,
+        "scrape_meta": q_scrape_meta,
+        "shape_template": q_shape_template,
+        "shape_schema_json": q_shape_schema_json,
+        "json_extract": q_json_extract,
+        "pii_redact": q_pii_redact,
+        "gopher_quality": q_gopher_quality,
+        # --- (c) fill (r04-checked) --------------------------------------
+        "semantic_dedup": q_semantic_dedup,
+        "embedding_near_dup": q_embedding_near_dup,
+        "warc_ingest": q_warc_ingest,
+        "host_reputation": q_host_reputation,
         "trap_detect": q_trap_detect,
         "sitemap_seeds": q_sitemap_seeds,
-        "host_reputation": q_host_reputation,
-        "incremental_dedup": q_incremental_dedup,
-        "semantic_dedup": q_semantic_dedup,
         "link_pagerank": q_link_pagerank,
         "focused_pagerank": q_focused_pagerank,
         "hits_scores": q_hits_scores,
-        "anchor_texts": q_anchor_texts,
-        "warc_ingest": q_warc_ingest,
-        "url_features": q_url_features,
-        "decontaminate": q_decontaminate,
-        "stratified_sample": q_stratified_sample,
-        "capped_sample": q_capped_sample,
-        "pack_sequences": q_pack_sequences,
         "chunk_dedup": q_chunk_dedup,
+        "boilerplate_chunks": q_boilerplate_chunks,
+        "pack_sequences": q_pack_sequences,
         "text_normalize": q_text_normalize,
         "vocab_stats": q_vocab_stats,
-        "boilerplate_chunks": q_boilerplate_chunks,
+        "stratified_sample": q_stratified_sample,
+        "capped_sample": q_capped_sample,
+        "url_features": q_url_features,
+        "decontaminate": q_decontaminate,
         "dup_ngrams": q_dup_ngrams,
         "dup_span_fraction": q_dup_span_fraction,
         "doc_keywords": q_doc_keywords,
@@ -1699,6 +1732,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_valid_filter": q_url_valid_filter,
         "frontier_antijoin": q_frontier_antijoin,
         "politeness_select": q_politeness_select,
+        # --- positions 51-72: r04-green, untouched since r02 --------------
         "batch_summary": q_batch_summary,
         "strategy_running_avg": q_strategy_running_avg,
         "word_counts": q_word_counts,
@@ -1716,35 +1750,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_union": q_tag_union,
         "exact_dedup": q_exact_dedup,
         "fingerprint": q_fingerprint,
-        "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "bm25_topk": q_bm25_topk,
         "unigram_nll": q_unigram_nll,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_ivf": q_embedding_topk_ivf,
-        "embedding_near_dup": q_embedding_near_dup,
-        "media_features": q_media_features,
-        "minhash_near_dup": q_minhash_near_dup,
-        "minhash_signatures": q_minhash_signatures,
-        "near_dup_clusters": q_near_dup_clusters,
-        "corpus_filter": q_corpus_filter,
-        "simhash": q_simhash,
-        "ngram_jaccard": q_ngram_jaccard,
-        "extract_structured": q_extract_structured,
-        "extract_adaptive": q_extract_adaptive,
-        "extract_semantic": q_extract_semantic,
-        "extract_rule_based": q_extract_rule_based,
-        "extract_hybrid": q_extract_hybrid,
-        "extract_custom": q_extract_custom,
-        "rule_stats": q_rule_stats,
-        "rule_most_used": q_rule_most_used,
-        "extract_outlinks": q_extract_outlinks,
-        "scrape_meta": q_scrape_meta,
-        "shape_template": q_shape_template,
-        "shape_schema_json": q_shape_schema_json,
-        "json_extract": q_json_extract,
-        "pii_redact": q_pii_redact,
-        "gopher_quality": q_gopher_quality,
     }
 
 

@@ -362,3 +362,115 @@ def test_reference_metrics_and_metadata_parity(ref, mode):
         assert (ours["metadata"]["title"] or None) == (ref_title or None), (
             mode, url, ours["metadata"]["title"], ref_title,
         )
+
+
+def test_reference_adaptive_assembly_parity():
+    """VERDICT r04 #5: execute the reference's OWN adaptive assembly.
+
+    ``AdaptiveExtractionStrategy._extract_absolutely_everything`` is two
+    spans: (a) an in-browser ``page.evaluate`` JS block
+    (adaptive_strategy.py:542-592) that no pure-Python run can execute —
+    that span stays FIXTURE-DEFINED here, recomputed with our DOM kit
+    (exactly the documented kernel deviation #3: innerText approximated
+    block-aware); and (b) the pure-Python composite assembly at :594-608
+    (the PAGE METADATA / HEADINGS STRUCTURE / FULL TEXT CONTENT / LINKS
+    FOUND f-string, chr(10) joins, .get() defaults, trailing newline) —
+    that span RUNS below and must byte-match our ``extract_adaptive``
+    composite for the same page.  The exception fallback at :615-620
+    (re-evaluate body innerText) is executed too."""
+    from urllib.parse import urljoin
+
+    _install_stubs()
+    from intelligent_web_extractor.models.config import ExtractorConfig
+    from intelligent_web_extractor.strategies.adaptive_strategy import (
+        AdaptiveExtractionStrategy,
+    )
+
+    sys.path.insert(0, str(REPO))
+    from crawler_engine_spark.data import gen
+    from crawler_engine_spark.htmlkit import dom
+    from crawler_engine_spark.kernels.extract import (
+        _WS_RE,
+        DEFAULT_OPTIONS,
+        extract_adaptive,
+    )
+
+    strategy = AdaptiveExtractionStrategy(
+        _FailingAIClient(), ExtractorConfig(), browser_manager=object()
+    )
+
+    cases = [(gen.url_of(i), gen.html_of(i, 300)) for i in (0, 11, 77)]
+    # degenerate shapes: no title, no headings, no links; link text with
+    # colons/dashes; heading with embedded whitespace
+    cases.append((
+        "https://edge.example/p",
+        "<html><head></head><body><p>only a paragraph</p></body></html>",
+    ))
+    cases.append((
+        "https://edge.example/q",
+        "<html><head><title>T: x - y</title></head><body>"
+        "<h2>A  spaced   heading</h2>"
+        '<a href="/rel">text: with - punct</a>'
+        '<a href="https://abs.example/z"></a></body></html>',
+    ))
+
+    for url, html in cases:
+        root = dom.parse(html)
+        title_el = root.find("title")
+        body = root.find("body")
+        body_text = dom.inner_text(body) if body is not None else ""
+        all_texts = [
+            t for el in root.iter_elements() for t in [el.get_text().strip()] if t
+        ]
+        combined = _WS_RE.sub(" ", " ".join([body_text] + all_texts)).strip()
+        payload = {
+            "fullText": combined,
+            "metadata": {
+                "title": title_el.get_text().strip() if title_el is not None else "",
+                "url": url,
+                "headings": [
+                    {"level": h.name.upper(), "text": h.get_text()}
+                    for h in root.find_all(["h1", "h2", "h3", "h4", "h5", "h6"])
+                ],
+                "links": [
+                    {
+                        "text": a.get_text(),
+                        "href": urljoin(url, a.attrs.get("href", ""))
+                        if a.attrs.get("href", "")
+                        else url,
+                    }
+                    for a in root.select("a[href]")[:50]
+                ],
+            },
+        }
+
+        class _Page:
+            def __init__(self, p):
+                self._p = p
+
+            async def evaluate(self, js):
+                return self._p
+
+        theirs = asyncio.get_event_loop().run_until_complete(
+            strategy._extract_absolutely_everything(_Page(payload))
+        )
+        ours = extract_adaptive(url, None, html, DEFAULT_OPTIONS)["content"]
+        assert theirs == ours, (url, theirs[:200], ours[:200])
+
+    # the exception fallback (:615-620): first evaluate raises, the
+    # reference re-evaluates body innerText and returns it verbatim
+    class _BrokenPage:
+        def __init__(self):
+            self.calls = 0
+
+        async def evaluate(self, js):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("browser gone")
+            return "fallback body text"
+
+    page = _BrokenPage()
+    got = asyncio.get_event_loop().run_until_complete(
+        strategy._extract_absolutely_everything(page)
+    )
+    assert got == "fallback body text" and page.calls == 2
