@@ -16,10 +16,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-QUERIES = [
-    "pricing_summary", "revenue_by_segment", "embedding_topk",
-    "embedding_topk_ivf", "exact_dedup",
-]
+# default: the r02 regression set; pass a comma list as argv[1] to A/B any
+# catalog queries (r05 uses this for the cut-policy flatness check)
+QUERIES = (
+    sys.argv[1].split(",")
+    if len(sys.argv) > 1
+    else [
+        "pricing_summary", "revenue_by_segment", "embedding_topk",
+        "embedding_topk_ivf", "exact_dedup",
+    ]
+)
 R01 = {"pricing_summary": 0.47, "revenue_by_segment": 1.03,
        "embedding_topk": 0.49, "embedding_topk_ivf": 1.99, "exact_dedup": 0.59}
 R02 = {"pricing_summary": 1.33, "revenue_by_segment": 1.73,
@@ -60,7 +66,7 @@ def main():
         out[n] = {
             "median": round(statistics.median(reps[n]), 3),
             "min": min(reps[n]), "max": max(reps[n]), "reps": reps[n],
-            "r01": R01[n], "r02": R02[n],
+            "r01": R01.get(n), "r02": R02.get(n),
         }
     spark.stop()
     print(json.dumps(out, indent=1))
