@@ -393,6 +393,17 @@ def minhash_dedup(
 LSH_INDEX_FORMAT_VERSION = 1
 
 
+def _invalidate_index_marker(path: str) -> None:
+    """Remove a pre-existing ``_INDEX`` marker before mutating index data
+    in place, so the written-LAST crash-safety rule holds when the target
+    path already contains an index (see write_lsh_index docstring)."""
+    import os
+
+    marker = os.path.join(path, "_INDEX")
+    if os.path.exists(marker):
+        os.remove(marker)
+
+
 @dataclass
 class LshIndex:
     """A snapshot's persisted dedup index: its banded MinHash projection
@@ -423,10 +434,17 @@ def write_lsh_index(
     anti-join), and an ``_INDEX`` marker with the parameters, written LAST
     so a crash mid-write leaves no readable index.  Buckets are stored
     uncapped — ``max_bucket_size`` is a query-time policy, applied by the
-    consumer."""
+    consumer.
+
+    Writing over an EXISTING index invalidates its marker FIRST: without
+    that, a crash after the ``banded`` overwrite but before the marker
+    rewrite would leave the OLD marker presiding over a new/old parquet
+    mix — a readable, corrupt index.  Remove-marker → write data → write
+    marker makes the window crash-consistent in both directions."""
     import json
     import os
 
+    _invalidate_index_marker(path)
     banded = minhash_banded(df, text_col, id_col, num_perm, bands, shingle_n)
     banded.write.mode("overwrite").parquet(os.path.join(path, "banded"))
     (
@@ -461,8 +479,10 @@ def merge_lsh_index(spark, paths: list, out: str) -> dict:
     signature work runs: merging is two shuffles over already-computed
     projections.  All inputs must share signature parameters (they are
     baked into the stored projections) and the id column; mismatches
-    raise.  The ``_INDEX`` marker is written LAST, same crash-safety rule
-    as write_lsh_index."""
+    raise.  The ``_INDEX`` marker is written LAST — and any marker already
+    at ``out`` is removed FIRST — same crash-safety rule as
+    write_lsh_index: a crash mid-merge must leave ``out`` unreadable, not
+    an old marker over a new/old parquet mix."""
     import json
     import os
     from functools import reduce
@@ -486,6 +506,9 @@ def merge_lsh_index(spark, paths: list, out: str) -> dict:
     digests = reduce(
         lambda a, b: a.union(b), (i.digests for i in idxs)
     ).distinct()
+    # after all validation (an invalid merge must not destroy a valid
+    # index at `out`), before the first data write
+    _invalidate_index_marker(out)
     banded.write.mode("overwrite").parquet(os.path.join(out, "banded"))
     digests.write.mode("overwrite").parquet(os.path.join(out, "digests"))
     params = {"format_version": LSH_INDEX_FORMAT_VERSION, **base}

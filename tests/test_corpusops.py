@@ -319,6 +319,54 @@ def test_lsh_index_merge_equivalence(spark, tmp_path):
         dedup.merge_lsh_index(spark, [pa], str(tmp_path / "y"))
 
 
+def test_lsh_index_rewrite_crash_leaves_no_readable_index(spark, tmp_path, monkeypatch):
+    """The written-LAST crash-safety rule must hold when writing OVER an
+    existing index: the old ``_INDEX`` marker is removed before any data
+    write, so a crash mid-rewrite/mid-merge leaves the path unreadable
+    (read_lsh_index raises) instead of an old marker presiding over a
+    new/old parquet mix.  An INVALID merge, by contrast, must not touch
+    a valid index already at ``out``."""
+    import os
+
+    import pytest as _pytest
+
+    from crawler_engine_spark.operators import dedup
+
+    a = spark.createDataFrame(
+        [(i, f"crash safety document {i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "idx")
+    dedup.write_lsh_index(a, p, "text", "doc_id")
+    assert os.path.exists(os.path.join(p, "_INDEX"))
+
+    # crash during the data write of an in-place rewrite
+    boom = RuntimeError("simulated crash mid-write")
+    real = dedup.minhash_banded
+
+    def exploding(*args, **kwargs):
+        raise boom
+
+    monkeypatch.setattr(dedup, "minhash_banded", exploding)
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        dedup.write_lsh_index(a, p, "text", "doc_id")
+    monkeypatch.setattr(dedup, "minhash_banded", real)
+    # marker gone -> the half-written index is not readable
+    with _pytest.raises(FileNotFoundError):
+        dedup.read_lsh_index(spark, p)
+
+    # rewrite completes -> readable again
+    dedup.write_lsh_index(a, p, "text", "doc_id")
+    assert dedup.read_lsh_index(spark, p).params["id_col"] == "doc_id"
+
+    # an invalid merge rejected at validation must NOT invalidate `out`
+    pq = str(tmp_path / "other")
+    dedup.write_lsh_index(a, pq, "text", "doc_id", num_perm=32, bands=8)
+    with _pytest.raises(ValueError, match="params"):
+        dedup.merge_lsh_index(spark, [pq, p], str(tmp_path / "out2"))
+    assert dedup.read_lsh_index(spark, p).params["num_perm"] == 64
+
+
 def test_lsh_index_skips_old_side_signatures(spark, tmp_path):
     """Two successive ingest batches against ONE written index: results
     match the recompute path exactly, and the plan proves the old side is
