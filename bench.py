@@ -412,12 +412,18 @@ def main() -> None:
 
     _materialize(spark.range(0, CPUS * 10).repartition(CPUS).select(_warm(col("id"))))
 
+    from crawler_engine_spark import release_caches
+
     timings = {}
     t_suite = time.time()
     for name in BENCH_QUERIES:
         t0 = time.time()
         _materialize(queries[name](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
+        # free the internal persists some operators hand across the call
+        # boundary (LSH candidate pairs, anchor pre-aggregates) so one
+        # query's caches never occupy executor storage during the next
+        release_caches()
     suite_seconds = round(time.time() - t_suite, 3)
 
     crawl = run_crawl(spark)

@@ -52,8 +52,11 @@ def main():
         return s
 
     mat(spark.range(0, 320).repartition(32).select(_warm(col("id"))))
+    from crawler_engine_spark import release_caches
+
     for name in QUERIES:  # one untimed warm pass per query
         mat(queries[name](spark, SF_DIR))
+        release_caches()
 
     reps = {n: [] for n in QUERIES}
     for _ in range(7):
@@ -61,6 +64,9 @@ def main():
             t0 = time.time()
             mat(queries[name](spark, SF_DIR))
             reps[name].append(round(time.time() - t0, 3))
+            # 8 calls per cache-handing query would otherwise strand 8
+            # candidate-set persists in executor storage for the session
+            release_caches()
     out = {}
     for n in QUERIES:
         out[n] = {

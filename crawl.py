@@ -192,8 +192,25 @@ def cmd_index(args) -> None:
 
     if bool(args.docs) == bool(args.merge):
         raise SystemExit("index: provide exactly one of --docs or --merge")
-    spark = get_spark("crawl-index")
     if args.merge:
+        # merge reuses the parameters BAKED INTO the stored indexes
+        # (merge_lsh_index asserts they match each other); an explicit
+        # signature-param flag here would be silently ignored, so reject
+        # it — re-parameterizing requires rebuilding from --docs
+        ignored = [
+            flag
+            for flag, val in (
+                ("--id-col", args.id_col), ("--text-col", args.text_col),
+                ("--num-perm", args.num_perm), ("--bands", args.bands),
+            )
+            if val is not None
+        ]
+        if ignored:
+            raise SystemExit(
+                "index: --merge takes its parameters from the stored "
+                f"indexes; drop {', '.join(ignored)}"
+            )
+        spark = get_spark("crawl-index")
         params = dedup.merge_lsh_index(spark, args.merge.split(","), args.out)
         print(json.dumps({
             "command": "index", "merged": args.merge.split(","),
@@ -201,10 +218,14 @@ def cmd_index(args) -> None:
         }))
         spark.stop()
         return
+    spark = get_spark("crawl-index")
     df = spark.read.parquet(args.docs)
     params = dedup.write_lsh_index(
-        df, args.out, args.text_col, args.id_col,
-        num_perm=args.num_perm, bands=args.bands,
+        df, args.out,
+        args.text_col if args.text_col is not None else "text",
+        args.id_col if args.id_col is not None else "doc_id",
+        num_perm=args.num_perm if args.num_perm is not None else 64,
+        bands=args.bands if args.bands is not None else 16,
     )
     print(json.dumps({"command": "index", "out": args.out, **params}))
     spark.stop()
@@ -226,6 +247,11 @@ def cmd_ingest(args) -> None:
 
     if not args.cdx and not args.warc:
         raise SystemExit("ingest: provide --warc (archives) or --cdx (index)")
+    # explicit None check, not `or`: a typo'd 0/negative cap would
+    # silently classify EVERY listing row as malformed and write an
+    # empty page store with exit code 0 (validated before JVM startup)
+    if args.max_slice_bytes is not None and args.max_slice_bytes <= 0:
+        raise SystemExit("ingest: --max-slice-bytes must be > 0")
     spark = get_spark("crawl-ingest")
     if args.cdx:
         statuses = (
@@ -241,7 +267,9 @@ def cmd_ingest(args) -> None:
 
         pages = warc_pages_from_cdx(
             listing, num_partitions=args.tasks,
-            max_slice_bytes=args.max_slice_bytes or DEFAULT_MAX_SLICE_BYTES,
+            max_slice_bytes=(DEFAULT_MAX_SLICE_BYTES
+                             if args.max_slice_bytes is None
+                             else args.max_slice_bytes),
         )
     else:
         pages = read_warc_pages(spark, args.warc)
@@ -699,10 +727,14 @@ def main() -> None:
                      help="compact existing indexes into --out instead of "
                           "building one (params must match)")
     pix.add_argument("--out", required=True, help="index output directory")
-    pix.add_argument("--id-col", default="doc_id")
-    pix.add_argument("--text-col", default="text")
-    pix.add_argument("--num-perm", type=int, default=64)
-    pix.add_argument("--bands", type=int, default=16)
+    # None sentinels so cmd_index can tell "explicitly passed" from
+    # "default" — --merge must reject signature-param flags it would
+    # otherwise silently ignore
+    pix.add_argument("--id-col", default=None, help="default: doc_id")
+    pix.add_argument("--text-col", default=None, help="default: text")
+    pix.add_argument("--num-perm", type=int, default=None,
+                     help="default: 64")
+    pix.add_argument("--bands", type=int, default=None, help="default: 16")
     pix.set_defaults(fn=cmd_index)
 
     pint = sub.add_parser("interactive", help="interactive extraction loop")

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import caches
+
 DEFAULT_REQUESTS_PER_SECOND = 2.0  # models/config.py:159
 DEFAULT_CRAWL_DELAY_S = 0.5        # models/config.py:161
 DEFAULT_ROUND_SECONDS = 10.0
@@ -152,6 +154,14 @@ def global_fetch_sequence(selected: DataFrame, offset: int = 0) -> DataFrame:
     WITHOUT a single-partition window: range-repartition by the sort key,
     per-partition row_number, then add per-partition offsets (computed from
     a tiny count-per-partition collect).
+
+    The arranged projection is cached — the offset map was computed from
+    ITS partition layout, so the returned plan must read the same layout —
+    and handed across the call boundary (the result is built on top of
+    it), so it is recorded in the session registry for
+    ``crawler_engine_spark.release_caches()``; the engine drains it at
+    each round commit, otherwise one batch-sized cache per round would
+    outlive its round.
     """
     order_cols = PRIORITY_COLS + ["url_hash"]
     n_part = max(selected.sparkSession.sparkContext.defaultParallelism, 1)
@@ -161,6 +171,7 @@ def global_fetch_sequence(selected: DataFrame, offset: int = 0) -> DataFrame:
         .withColumn("_pid", F.spark_partition_id())
     )
     arranged = arranged.cache()
+    caches.register(arranged)
     counts = {r["_pid"]: r["count"] for r in arranged.groupBy("_pid").count().collect()}
     offsets, acc = {}, offset
     for pid in sorted(counts):

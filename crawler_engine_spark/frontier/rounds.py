@@ -42,6 +42,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import caches
 from ..kernels.extract import DEFAULT_OPTIONS, ExtractOptions
 from ..operators import urlops
 from ..operators.extraction import extract_pages
@@ -948,6 +949,13 @@ class CrawlEngine:
         batch.unpersist()
         flagged.unpersist()
         gated.unpersist()
+        # drain the session registry: global_fetch_sequence's arranged
+        # projection (and any other intra-round hand-off) must not outlive
+        # its round — a long crawl would otherwise strand one batch-sized
+        # cache per round.  Round commit is a safe drain point: everything
+        # the round produced is on disk, and registered caches are
+        # recomputable persists, never cuts.
+        caches.release_all()
         # 12. atomic commit marker — written LAST
         with open(self._commit_path(k), "w") as f:
             json.dump(record, f)

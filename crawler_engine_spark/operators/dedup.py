@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 from pyspark.sql.functions import pandas_udf
 
+from .. import caches
+
 # --------------------------------------------------------------------------
 # Exact dedup
 # --------------------------------------------------------------------------
@@ -286,6 +288,9 @@ def minhash_lsh_candidates(
     # pairs is candidate-cardinality (small) and now materialized; the
     # corpus-scale banded projection is no longer needed by anything
     banded.unpersist()
+    # handed to the caller persisted (verify_jaccard joins it twice);
+    # caches.release_all() frees it once the verified output is consumed
+    caches.register(pairs)
     return pairs
 
 
@@ -328,6 +333,7 @@ def verify_jaccard(
     if not candidates.is_cached:  # LSH candidate fns hand over cached pairs
         candidates = candidates.persist()
         candidates.count()
+        caches.register(candidates)  # freed by caches.release_all()
     texts = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     a = texts.withColumnRenamed("_id", "id_a").withColumnRenamed("_text", "text_a")
     b = texts.withColumnRenamed("_id", "id_b").withColumnRenamed("_text", "text_b")
@@ -611,6 +617,7 @@ def verify_jaccard_cross(
     if not pairs.is_cached:
         pairs = pairs.persist()
         pairs.count()
+        caches.register(pairs)  # freed by caches.release_all()
     a = new_df.select(F.col(id_col).alias("id_new"), F.col(text_col).alias("text_a"))
     b = old_df.select(F.col(id_col).alias("id_old"), F.col(text_col).alias("text_b"))
     joined = pairs.join(a, "id_new").join(b, "id_old")
@@ -777,6 +784,8 @@ def simhash_candidates(
     )
     pairs.count()
     banded.unpersist()
+    # handed to the caller persisted; caches.release_all() frees it
+    caches.register(pairs)
     return pairs
 
 
@@ -1063,6 +1072,9 @@ def embedding_near_dup_pairs(
     pairs = _lsh_pair_join(banded).persist()
     pairs.count()
     banded.unpersist()
+    # the returned join is built ON TOP of the persisted pairs, so the
+    # handle would otherwise be unreachable; caches.release_all() frees it
+    caches.register(pairs)
     emb = df.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
     return (
         pairs.join(emb.alias("ea"), F.col("id_a") == F.col("ea._id"))

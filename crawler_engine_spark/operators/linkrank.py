@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from . import urlops
+from .. import caches
 
 
 def pagerank(
@@ -179,13 +180,16 @@ def pagerank(
 #: caller is ALSO recorded here, so ``release_caches()`` (no argument) can
 #: release them even when the handle-carrying DataFrame is gone — the
 #: ``_linkrank_caches`` attribute does NOT survive transformations (any
-#: .select/.where/.repartition returns a new object without it).
-_REGISTERED_CACHES: list = []
+#: .select/.where/.repartition returns a new object without it).  This is
+#: the SESSION-WIDE registry (``crawler_engine_spark.caches``) shared with
+#: the dedup operators' candidate-pair hand-offs; draining it from either
+#: module's release entry point frees everything.
+_REGISTERED_CACHES: list = caches.REGISTRY
 
 
 def _own_caches(out: DataFrame, handles: tuple) -> DataFrame:
     out._linkrank_caches = tuple(handles)
-    _REGISTERED_CACHES.extend(handles)
+    caches.register(*handles)
     return out
 
 
@@ -198,23 +202,18 @@ def release_caches(df: DataFrame | None = None) -> None:
     :func:`pagerank` / :func:`anchor_summary` returned, before any
     .select/.where/.repartition, or it silently does nothing.
 
-    With no argument: release every internal persist this module has
-    registered since the last release — the transformation-proof form
-    (safe to call at any point: persisted data is recomputable, releasing
-    early only forfeits reuse, never correctness)."""
+    With no argument: release every internal persist registered in the
+    session-wide registry since the last release — the
+    transformation-proof form (safe to call at any point: persisted data
+    is recomputable, releasing early only forfeits reuse, never
+    correctness).  The registry is shared with the dedup operators, so
+    this also frees their candidate-pair hand-offs."""
     if df is None:
-        while _REGISTERED_CACHES:
-            try:
-                _REGISTERED_CACHES.pop().unpersist()
-            except Exception:
-                pass
+        caches.release_all()
         return
     for cached in getattr(df, "_linkrank_caches", ()):
         cached.unpersist()
-        try:
-            _REGISTERED_CACHES.remove(cached)
-        except ValueError:
-            pass
+        caches.forget(cached)
 
 
 def hits(

@@ -106,19 +106,28 @@ _MARKER_SCRIPT_RANGES = [
     (0x0400, 0x04FF),
 ]
 if any(
-    not (0x41 <= a <= b <= 0xFFFF)
+    # endpoints are emitted as LITERAL chars into a [...] class, so they
+    # must be >= U+0041 AND not a class metacharacter — backslash/]/^
+    # (U+005C-) are >= U+0041 but would corrupt the class in either
+    # engine (interior chars of a range never appear literally, only
+    # the two endpoints do)
+    not (0x41 <= a <= b <= 0xFFFF) or {a, b} & {0x5C, 0x5D, 0x5E}
     for rs in list(_SCRIPT_BLOCKS.values()) + [_MARKER_SCRIPT_RANGES]
     for a, b in rs
 ):
-    raise ValueError("script ranges must be BMP and regex-class-safe (>= U+0041)")
+    raise ValueError(
+        "script range endpoints must be BMP, >= U+0041, and not a class "
+        "metacharacter (\\ ] ^, U+005C-U+005E)"
+    )
 if set(_SCRIPT_BLOCKS) & set(_LANG_MARKERS):
     raise ValueError("script-block languages must not overlap marker languages")
 
 
 def _range_class_inner(ranges: list) -> str:
     """``a-bc-d`` literal-char range body for a regex char class — valid in
-    both Java regex (Spark) and RE2 (DuckDB); all chars are >= U+0041 so no
-    class metacharacter escaping is needed (import-time asserted)."""
+    both Java regex (Spark) and RE2 (DuckDB); endpoint chars are >= U+0041
+    and never ``\\``/``]``/``^``, so no class metacharacter escaping is
+    needed (import-time asserted)."""
     return "".join(f"{chr(a)}-{chr(b)}" for a, b in ranges)
 
 

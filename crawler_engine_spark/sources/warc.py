@@ -305,10 +305,12 @@ def warc_pages_from_cdx(
     nothing — wrong offset, truncated tail — contributes zero rows rather
     than failing the task, matching the stop-at-last-whole-record rule.
     A slice whose listed length exceeds ``max_slice_bytes`` (or is
-    non-positive) is counted as malformed under the same rule and never
-    read — a corrupt or adversarial index length must not load multi-GB
-    into one task's memory (ADVICE r04); the default admits any
-    legitimate Common Crawl slice up to two whole segment archives.
+    non-positive), or whose offset is null or negative, is counted as
+    malformed under the same rule and never read — a corrupt or
+    adversarial index length must not load multi-GB into one task's
+    memory (ADVICE r04), and a bad offset must not fail the task via
+    ``seek``; the default admits any legitimate Common Crawl slice up
+    to two whole segment archives.
     """
     import pandas as pd
     from pyspark.sql import functions as F
@@ -332,7 +334,18 @@ def warc_pages_from_cdx(
             for path, grp in pdf.groupby("warc_path", sort=False):
                 with _open_range_source(path) as f:
                     for off, ln in zip(grp["offset"], grp["length"]):
-                        if int(ln) <= 0 or int(ln) > max_slice_bytes:
+                        # a corrupt/adversarial index row (null or negative
+                        # offset, non-positive or oversized length) is
+                        # counted as malformed and never read — f.seek(-1)
+                        # would otherwise raise and fail the whole task,
+                        # breaking the untrusted-listing contract
+                        if (
+                            pd.isna(off)
+                            or pd.isna(ln)
+                            or int(off) < 0
+                            or int(ln) <= 0
+                            or int(ln) > max_slice_bytes
+                        ):
                             if oversize_counter is not None:
                                 oversize_counter.add(1)
                             continue

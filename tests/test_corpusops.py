@@ -644,6 +644,33 @@ def test_cli_index_then_incremental_ingest(spark, tmp_path):
     assert [r["doc_id"] for r in spark.read.parquet(out).collect()] == [5]
 
 
+def test_cli_flag_validation_fails_fast():
+    """r05 review: `index --merge` must reject signature-param flags it
+    would otherwise silently ignore (merge params come from the stored
+    indexes), and `ingest --max-slice-bytes <= 0` must error instead of
+    classifying every listing row as malformed and writing an empty page
+    store with exit code 0.  Both checks run before JVM startup, so these
+    subprocesses are cheap."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    crawl = os.path.join(repo, "crawl.py")
+    p = subprocess.run(
+        [sys.executable, crawl, "index", "--merge", "a,b", "--out", "/tmp/x",
+         "--num-perm", "128"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert p.returncode != 0 and "--num-perm" in p.stderr
+    p = subprocess.run(
+        [sys.executable, crawl, "ingest", "--cdx", "/tmp/nonexistent.cdxj",
+         "--out", "/tmp/x", "--max-slice-bytes", "0"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert p.returncode != 0 and "--max-slice-bytes" in p.stderr
+
+
 # --------------------------------------------------------------------------
 # Unicode normalization
 # --------------------------------------------------------------------------

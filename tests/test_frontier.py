@@ -81,6 +81,18 @@ def engine_run(spark, world):
     return eng, records
 
 
+def test_round_commit_drains_cache_registry(engine_run):
+    """r05 review follow-up: global_fetch_sequence hands its arranged
+    projection across the call boundary cached; the round-commit cleanup
+    must drain the session registry, or a long crawl strands one
+    batch-sized cache per round."""
+    from crawler_engine_spark import caches
+
+    eng, records = engine_run
+    assert len(records) >= 2  # multiple committed rounds ran
+    assert not caches.REGISTRY
+
+
 def test_crawl_ordering_matches_oracle(spark, world, oracle, engine_run):
     sim_log, _ = oracle
     eng, records = engine_run

@@ -81,6 +81,46 @@ def test_minhash_self_join_signs_once(spark):
         dedup.MINHASH_CALL_COUNTER = None
 
 
+def test_candidate_caches_release_and_recompute(spark):
+    """r05 review: dedup hands PERSISTED candidate pairs to callers (the
+    handle is unreachable once a join is built on top), so every hand-off
+    is also recorded in the session-wide registry —
+    crawler_engine_spark.release_caches() frees them between pipeline
+    stages / bench reps, and a consumer that runs afterwards recomputes
+    the same result (persist = recomputable lineage, unlike a checkpoint
+    cut)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from crawler_engine_spark import caches, release_caches
+
+    release_caches()  # drain anything earlier tests registered
+    docs = [
+        (i, f"document number {i} with some shared words and tail {i % 3}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_candidates(df, "text", "doc_id", num_perm=64, bands=16)
+    # identity, not `in`: DataFrame.__eq__ builds a Column
+    assert any(h is pairs for h in caches.REGISTRY)
+    verified = dedup.verify_jaccard(pairs, df, "text", "doc_id", threshold=0.5)
+    before = sorted((r["id_a"], r["id_b"]) for r in verified.collect())
+
+    emb_rows = [(i, [float(i % 4), 1.0, 0.0]) for i in range(12)]
+    edf = spark.createDataFrame(emb_rows, "doc_id long, emb array<float>")
+    near = dedup.embedding_near_dup_pairs(edf, "emb", "doc_id", dim=3,
+                                          threshold=0.99)
+    near_before = near.count()
+    registered = list(caches.REGISTRY)
+    assert len(registered) >= 2  # minhash pairs + embedding pairs
+
+    assert release_caches() == len(registered)
+    assert not caches.REGISTRY
+    assert all(h.storageLevel == StorageLevel.NONE for h in registered)
+    # released ≠ broken: downstream consumers recompute identically
+    assert sorted((r["id_a"], r["id_b"]) for r in verified.collect()) == before
+    assert near.count() == near_before
+
+
 def test_minhash_jaccard_estimate_accuracy(spark):
     """MinHash signature agreement should approximate true Jaccard."""
     a = " ".join(f"w{i}" for i in range(100))

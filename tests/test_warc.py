@@ -229,11 +229,10 @@ def test_cdx_status_pushdown_skips_range_reads(spark, tmp_path):
 
 
 def test_cdx_oversized_length_counts_malformed(spark, tmp_path):
-    """ADVICE r04: a corrupt/adversarial CDX length larger than
-    max_slice_bytes is never read (memory guard) and counts as malformed;
-    well-formed rows are unaffected."""
-    import pandas as pd
-
+    """ADVICE r04 + r05 review: a corrupt/adversarial CDX row — length
+    larger than max_slice_bytes, non-positive or null length, negative or
+    null offset (seek(-1) would fail the whole task) — is never read and
+    counts as malformed; well-formed rows are unaffected."""
     from crawler_engine_spark.sources import warc as warc_mod
 
     recs = [(f"https://w.example/p{i}", _TS,
@@ -241,11 +240,14 @@ def test_cdx_oversized_length_counts_malformed(spark, tmp_path):
     blob, idx = build_warc_with_index(recs)
     path = tmp_path / "s.warc"
     path.write_bytes(blob)
-    rows = [(str(path), off, ln) for off, ln in idx]
+    rows = [(str(path), int(off), int(ln)) for off, ln in idx]
     rows.append((str(path), 0, 50 << 30))  # 50 GiB claimed length
     rows.append((str(path), 0, -7))        # negative length
+    rows.append((str(path), -1, 100))      # negative offset: seek(-1) raises
+    rows.append((str(path), None, 100))    # null offset
+    rows.append((str(path), 4, None))      # null length
     cdx = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["warc_path", "offset", "length"])
+        rows, "warc_path string, offset long, length long"
     )
     acc_read = spark.sparkContext.accumulator(0)
     acc_bad = spark.sparkContext.accumulator(0)
@@ -256,7 +258,7 @@ def test_cdx_oversized_length_counts_malformed(spark, tmp_path):
     finally:
         warc_mod.CDX_SLICE_READ_COUNTER = None
         warc_mod.CDX_OVERSIZE_COUNTER = None
-    assert acc_read.value == 3 and acc_bad.value == 2
+    assert acc_read.value == 3 and acc_bad.value == 5
     assert sorted(r["url"] for r in got) == [u for u, _, _ in recs]
 
 
