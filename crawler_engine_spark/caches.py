@@ -31,8 +31,17 @@ REGISTRY: list = []
 
 
 def register(*handles) -> None:
-    """Record persisted DataFrames a function is handing to its caller."""
-    REGISTRY.extend(handles)
+    """Record persisted DataFrames for later draining.
+
+    Idempotent by identity: operators register at persist-creation AND
+    may re-announce the same handle at hand-off (``_own_caches``), so a
+    duplicate entry must not survive — an exact-object ``forget`` would
+    otherwise leave a stale twin behind.  Identity scan, not ``in``:
+    DataFrame.__eq__ builds a Column.
+    """
+    for h in handles:
+        if not any(r is h for r in REGISTRY):
+            REGISTRY.append(h)
 
 
 def forget(handle) -> None:
@@ -46,6 +55,20 @@ def forget(handle) -> None:
         if h is handle:
             del REGISTRY[i]
             return
+
+
+def release(handle) -> None:
+    """Unpersist one handle and drop it from the registry — the
+    in-function release path.  Operators register every persist at
+    creation (not at hand-off), so a call that raises between its
+    ``persist()`` and its in-function release leaves the cache
+    drainable via :func:`release_all` instead of stranded with no
+    reachable handle."""
+    try:
+        handle.unpersist()
+    except Exception:
+        pass
+    forget(handle)
 
 
 def release_all() -> int:

@@ -369,9 +369,10 @@ class CrawlEngine:
             return 0
         target = urls.select(F.col("canonical_url")).distinct()
         records = seen.join(target, "canonical_url", "inner").cache()
+        caches.register(records)  # drainable even if a write below fails
         n = records.count()
         if n == 0:
-            records.unpersist()
+            caches.release(records)
             return 0
         expired_at = self.last_committed()
         t_root = self._tombstones_dir()
@@ -407,7 +408,7 @@ class CrawlEngine:
             rq.write.mode("overwrite").parquet(rq_tmp)
             os.rename(rq_tmp, os.path.join(self._requeue_dir(), batch))
         os.rename(t_tmp, os.path.join(t_root, batch))
-        records.unpersist()
+        caches.release(records)
         return n
 
     # -------------------------------------------------------- compaction
@@ -628,6 +629,10 @@ class CrawlEngine:
             frontier, self.robots, self.cfg.round_seconds,
             host_tokens=prev_tokens, burst_rounds=self.cfg.burst_rounds,
         ).persist()
+        # round-scoped persists register at creation so a round that
+        # raises mid-flight leaves them drainable (the next round's
+        # commit drain, or release_caches()) instead of stranded
+        caches.register(gated)
         blocked = gated.where(~F.col("allowed")).select(*frontier.columns)
         eligible = gated.where(F.col("allowed"))
 
@@ -694,6 +699,7 @@ class CrawlEngine:
         selected = politeness.global_fetch_sequence(
             selected, offset=int(prev["total_fetched"])
         ).cache()
+        caches.register(selected)
 
         # 3. fetch-simulate (J2): left join against the page store
         pages = self.spark.read.parquet(self.pages_path).select("url", "html")
@@ -703,6 +709,7 @@ class CrawlEngine:
         batch = batch.withColumn(
             "fetch_status", F.when(F.col("html").isNotNull(), "ok").otherwise("miss")
         ).cache()
+        caches.register(batch)
 
         # 4. extraction (vectorized kernel) over successfully "fetched" pages;
         # lineage columns ride through the kernel as passthrough — no
@@ -785,6 +792,7 @@ class CrawlEngine:
         # 6. novelty: bloom pre-filter, exact anti-join only on maybe_seen (J1)
         prev_bloom = os.path.join(self._round_dir(k - 1), "bloom")
         flagged = self.bloom.flag_maybe_seen(cand, prev_bloom).cache()
+        caches.register(flagged)
         definitely_new = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
         maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
         seen = self._read_seen(k - 1)
@@ -945,16 +953,15 @@ class CrawlEngine:
             "link_rank_applied": link_rank_applied,
             "link_rank_recomputed": link_rank_recomputed,
         }
-        selected.unpersist()
-        batch.unpersist()
-        flagged.unpersist()
-        gated.unpersist()
-        # drain the session registry: global_fetch_sequence's arranged
-        # projection (and any other intra-round hand-off) must not outlive
-        # its round — a long crawl would otherwise strand one batch-sized
-        # cache per round.  Round commit is a safe drain point: everything
-        # the round produced is on disk, and registered caches are
-        # recomputable persists, never cuts.
+        # drain the session registry: the round's own persists (gated /
+        # selected / batch / flagged, registered at creation so a round
+        # that raises mid-flight leaves them drainable too),
+        # global_fetch_sequence's arranged projection, and any other
+        # intra-round hand-off must not outlive the round — a long crawl
+        # would otherwise strand one batch-sized cache per round.  Round
+        # commit is a safe drain point: everything the round produced is
+        # on disk, and registered caches are recomputable persists,
+        # never cuts.
         caches.release_all()
         # 12. atomic commit marker — written LAST
         with open(self._commit_path(k), "w") as f:

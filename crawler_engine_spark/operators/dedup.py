@@ -281,16 +281,21 @@ def minhash_lsh_candidates(
     # on executor loss, and one lost executor mid-join would kill a 100-TB
     # dedup pass (VERDICT r04 #3).  Caches are evictable; eviction costs a
     # recompute, never correctness.
+    # every persist registers at creation so a failure between persist
+    # and release leaves the cache drainable (caches.release_all()),
+    # never stranded with no reachable handle
     banded = _cap_buckets(banded, max_bucket_size).persist()
+    caches.register(banded)
     banded.count()
     pairs = _lsh_pair_join(banded).persist()
+    caches.register(pairs)
     pairs.count()
     # pairs is candidate-cardinality (small) and now materialized; the
-    # corpus-scale banded projection is no longer needed by anything
-    banded.unpersist()
-    # handed to the caller persisted (verify_jaccard joins it twice);
-    # caches.release_all() frees it once the verified output is consumed
-    caches.register(pairs)
+    # corpus-scale banded projection is no longer needed by anything.
+    # pairs stays registered: it is handed to the caller persisted
+    # (verify_jaccard joins it twice) and freed by caches.release_all()
+    # once the verified output is consumed
+    caches.release(banded)
     return pairs
 
 
@@ -332,8 +337,8 @@ def verify_jaccard(
     JVM string-array construction for this shape)."""
     if not candidates.is_cached:  # LSH candidate fns hand over cached pairs
         candidates = candidates.persist()
-        candidates.count()
         caches.register(candidates)  # freed by caches.release_all()
+        candidates.count()
     texts = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
     a = texts.withColumnRenamed("_id", "id_a").withColumnRenamed("_text", "text_a")
     b = texts.withColumnRenamed("_id", "id_b").withColumnRenamed("_text", "text_b")
@@ -616,8 +621,8 @@ def verify_jaccard_cross(
     on executor loss, unlike a checkpoint cut)."""
     if not pairs.is_cached:
         pairs = pairs.persist()
-        pairs.count()
         caches.register(pairs)  # freed by caches.release_all()
+        pairs.count()
     a = new_df.select(F.col(id_col).alias("id_new"), F.col(text_col).alias("text_a"))
     b = old_df.select(F.col(id_col).alias("id_old"), F.col(text_col).alias("text_b"))
     joined = pairs.join(a, "id_new").join(b, "id_old")
@@ -764,6 +769,7 @@ def simhash_candidates(
     # the self-join's two scans, with recomputable lineage instead of
     # unrecoverable checkpoint blocks (VERDICT r04 #3)
     banded = banded.withColumnRenamed("bucket", "chunk").persist()
+    caches.register(banded)  # at creation: drainable even if a step fails
     banded.count()
     l, r = banded.alias("l"), banded.alias("r")
     pairs = (
@@ -782,10 +788,11 @@ def simhash_candidates(
         .where(F.col("hamming") <= 3)
         .persist()
     )
-    pairs.count()
-    banded.unpersist()
-    # handed to the caller persisted; caches.release_all() frees it
+    # registered at creation; stays registered across the hand-off —
+    # caches.release_all() frees it once the caller is done
     caches.register(pairs)
+    pairs.count()
+    caches.release(banded)
     return pairs
 
 
@@ -1068,13 +1075,15 @@ def embedding_near_dup_pairs(
     # projection exactly once, with recomputable lineage instead of
     # unrecoverable checkpoint blocks (VERDICT r04 #3)
     banded = _cap_buckets(banded, max_bucket_size).persist()
+    caches.register(banded)  # at creation: drainable even if a step fails
     banded.count()
-    pairs = _lsh_pair_join(banded).persist()
-    pairs.count()
-    banded.unpersist()
     # the returned join is built ON TOP of the persisted pairs, so the
-    # handle would otherwise be unreachable; caches.release_all() frees it
+    # handle would otherwise be unreachable; it stays registered and
+    # caches.release_all() frees it once the caller is done
+    pairs = _lsh_pair_join(banded).persist()
     caches.register(pairs)
+    pairs.count()
+    caches.release(banded)
     emb = df.select(F.col(id_col).alias("_id"), F.col(emb_col).alias("_emb"))
     return (
         pairs.join(emb.alias("ea"), F.col("id_a") == F.col("ea._id"))

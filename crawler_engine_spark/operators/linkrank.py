@@ -116,6 +116,7 @@ def pagerank(
     else:
         nodes = nodes.withColumn("_t", F.lit(True))
     nodes = nodes.persist()
+    caches.register(nodes)  # at creation: drainable even if a step fails
     n = nodes.where("_t").count()
     if n == 0:
         out = nodes.limit(0).select(
@@ -123,13 +124,14 @@ def pagerank(
             F.lit(0).cast("long").alias("rank_micro"),
             F.lit(0.0).alias("rank"),
         ).localCheckpoint(eager=True)
-        nodes.unpersist()
+        caches.release(nodes)
         return out
     init = scale // n
     base = (15 * init) // 100
     outdeg = e.groupBy("src").agg(F.count("*").alias("_od"))
     # out-degree fused into the edge list once; cached across iterations
     esrc = e.join(outdeg, "src").persist()
+    caches.register(esrc)
 
     base_col = F.when(F.col("_t"), F.lit(base)).otherwise(F.lit(0))
     ranks = nodes.select(
@@ -163,8 +165,8 @@ def pagerank(
     )
     if eager:
         out = out.localCheckpoint(eager=True)
-        nodes.unpersist()
-        esrc.unpersist()
+        caches.release(nodes)
+        caches.release(esrc)
     else:
         # non-eager callers own the internal caches (unpersisting before
         # the caller materializes would forfeit the per-iteration reuse the
@@ -274,6 +276,7 @@ def hits(
         .distinct()
         .persist()
     )
+    caches.register(nodes)  # at creation: drainable even if a step fails
     n = nodes.count()
     if n == 0:
         return nodes.select(
@@ -284,6 +287,7 @@ def hits(
             F.lit(0.0).alias("auth"),
         )
     esrc = e.persist()
+    caches.register(esrc)
     init = scale // n
 
     def _spread(scores: DataFrame, col: str, edge_key: str, out_key: str,
@@ -323,8 +327,8 @@ def hits(
             F.round(F.col("a") / F.lit(float(scale)), 8).alias("auth"),
         )
     )
-    nodes.unpersist()
-    esrc.unpersist()
+    caches.release(nodes)
+    caches.release(esrc)
     return out
 
 
@@ -386,6 +390,7 @@ def anchor_summary(
         F.col("_l.href").alias("_href"),
         F.col("_l.text").alias("_text"),
     ).persist()
+    caches.register(exploded)  # at creation: drainable even if a step fails
     exploded.count()
     skip = (
         href.isNull()
@@ -455,8 +460,9 @@ def anchor_summary(
         .agg(F.count("*").alias("_c"))
         .persist()
     )
+    caches.register(g1_all)
     g1_all.count()
-    exploded.unpersist()
+    caches.release(exploded)
     g1 = g1_all.where(urlops.is_valid_url_col(F.col("target")))
     stats = g1.groupBy("target").agg(
         F.sum("_c").cast("long").alias("n_refs"),

@@ -121,6 +121,41 @@ def test_candidate_caches_release_and_recompute(spark):
     assert near.count() == near_before
 
 
+def test_failed_operator_call_leaves_drainable_caches(spark):
+    """r05: persists register at CREATION, not at hand-off — an operator
+    that raises between its persist() and its in-function release leaves
+    the cache in the registry (drainable via release_caches) instead of
+    stranded with no reachable handle."""
+    from pyspark.storagelevel import StorageLevel
+
+    import crawler_engine_spark.operators.dedup as dedup_mod
+    from crawler_engine_spark import caches, release_caches
+
+    release_caches()
+    df = spark.createDataFrame(
+        [(i, f"some shared words tail {i % 3}") for i in range(8)],
+        "doc_id long, text string",
+    )
+
+    def boom(banded):
+        raise RuntimeError("boom")
+
+    orig = dedup_mod._lsh_pair_join
+    dedup_mod._lsh_pair_join = boom
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            dedup.minhash_lsh_candidates(df, "text", "doc_id")
+    finally:
+        dedup_mod._lsh_pair_join = orig
+    # the banded projection was persisted+filled before the failure; it
+    # must be registered (and still cached) rather than lost
+    assert len(caches.REGISTRY) == 1
+    (h,) = caches.REGISTRY
+    assert h.storageLevel != StorageLevel.NONE
+    assert release_caches() == 1
+    assert h.storageLevel == StorageLevel.NONE
+
+
 def test_minhash_jaccard_estimate_accuracy(spark):
     """MinHash signature agreement should approximate true Jaccard."""
     a = " ".join(f"w{i}" for i in range(100))
