@@ -220,13 +220,18 @@ def cmd_index(args) -> None:
         return
     spark = get_spark("crawl-index")
     df = spark.read.parquet(args.docs)
-    params = dedup.write_lsh_index(
-        df, args.out,
-        args.text_col if args.text_col is not None else "text",
-        args.id_col if args.id_col is not None else "doc_id",
-        num_perm=args.num_perm if args.num_perm is not None else 64,
-        bands=args.bands if args.bands is not None else 16,
-    )
+    # only pass flags the user set — write_lsh_index's own signature
+    # supplies the defaults (single source of truth; None is the
+    # unset sentinel the --merge guard above relies on)
+    overrides = {
+        k: v
+        for k, v in (
+            ("text_col", args.text_col), ("id_col", args.id_col),
+            ("num_perm", args.num_perm), ("bands", args.bands),
+        )
+        if v is not None
+    }
+    params = dedup.write_lsh_index(df, args.out, **overrides)
     print(json.dumps({"command": "index", "out": args.out, **params}))
     spark.stop()
 

@@ -152,16 +152,35 @@ def select_batch(
 def global_fetch_sequence(selected: DataFrame, offset: int = 0) -> DataFrame:
     """Assign a deterministic global ``fetch_seq`` by total priority order
     WITHOUT a single-partition window: range-repartition by the sort key,
-    per-partition row_number, then add per-partition offsets (computed from
-    a tiny count-per-partition collect).
+    per-partition row_number, plus per-partition offsets.
 
-    The arranged projection is cached — the offset map was computed from
-    ITS partition layout, so the returned plan must read the same layout —
-    and handed across the call boundary (the result is built on top of
-    it), so it is recorded in the session registry for
-    ``crawler_engine_spark.release_caches()``; the engine drains it at
-    each round commit, otherwise one batch-sized cache per round would
-    outlive its round.
+    The offsets are NOT collected to the driver and baked into the plan
+    as a literal map — a re-evaluation of the range shuffle samples new
+    boundaries, and a fresh layout paired with a stale literal map would
+    silently corrupt the sequence (duplicate / gapped fetch_seq).
+    Instead the cumulative-offset map is derived from the SAME cached
+    ``arranged`` projection inside the one query: a tiny
+    count-per-partition aggregate folded into a single-row
+    ``map<pid, offset>`` (``F.aggregate`` over the sorted counts) that is
+    broadcast back over a 1×N cross join.  The cache is the sharing
+    point: both branches scan one ``InMemoryRelation``, so they see one
+    buffers RDD — while cached, after an executor loss (recompute reuses
+    the range partitioner already baked into the RDD), and even after a
+    registry drain (the relation rebuilds its RDD once and both branches
+    read the rebuild).  Offsets and row numbers therefore always describe
+    the same layout; any evaluation is self-consistent, which is the
+    recompute-safety the cache registry's "drain at any point" contract
+    assumes (value-locked in tests/test_plans.py).  Exchange-level reuse
+    alone would NOT give this: column pruning narrows the counts branch,
+    so the two range exchanges differ and ``ReusedExchange`` cannot
+    match them.
+
+    The arranged cache is registered in the session registry — the
+    engine drains it at each round commit, otherwise one batch-sized
+    cache per round would outlive its round.  The single-partition
+    exchange introduced by the offset fold carries ≤ n_part count rows
+    (metadata, not data); the row_number window stays partitioned by
+    ``_pid``.
     """
     order_cols = PRIORITY_COLS + ["url_hash"]
     n_part = max(selected.sparkSession.sparkContext.defaultParallelism, 1)
@@ -169,22 +188,29 @@ def global_fetch_sequence(selected: DataFrame, offset: int = 0) -> DataFrame:
         selected.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-    )
-    arranged = arranged.cache()
+    ).cache()
     caches.register(arranged)
-    counts = {r["_pid"]: r["count"] for r in arranged.groupBy("_pid").count().collect()}
-    offsets, acc = {}, offset
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
-    offset_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    counts = arranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    offset_map = counts.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("_pid", "_n"))),
+            F.struct(
+                F.lit(offset).cast("long").alias("acc"),
+                F.create_map().cast("map<int,bigint>").alias("m"),
+            ),
+            lambda s, x: F.struct(
+                (s["acc"] + x["_n"]).alias("acc"),
+                F.map_concat(s["m"], F.create_map(x["_pid"], s["acc"])).alias("m"),
+            ),
+            lambda s: s["m"],
+        ).alias("_om")
     )
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
     return (
-        arranged.withColumn(
+        arranged.crossJoin(F.broadcast(offset_map))
+        .withColumn(
             "fetch_seq",
-            (F.row_number().over(w) - 1 + offset_map[F.col("_pid")]).cast("long"),
+            (F.row_number().over(w) - 1 + F.col("_om")[F.col("_pid")]).cast("long"),
         )
-        .drop("_pid")
+        .drop("_pid", "_om")
     )

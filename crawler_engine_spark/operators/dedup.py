@@ -433,8 +433,8 @@ class LshIndex:
 def write_lsh_index(
     df: DataFrame,
     path: str,
-    text_col: str,
-    id_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
     shingle_n: int = 3,

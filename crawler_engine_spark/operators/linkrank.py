@@ -91,7 +91,13 @@ def pagerank(
     where the node-cardinality rank table is consumed more than once
     within a round and per-call cache hygiene matters (a crawl calls this
     every round).  Non-eager results carry the internal cache handles —
-    call :func:`release_caches` on the result once it is consumed.
+    call :func:`release_caches` on the result once it is consumed.  Those
+    handles also sit in the session-wide registry, so an intervening
+    blanket drain (an engine round commit, a bench-harness rep boundary,
+    ``release_caches()`` with no argument) releases them early: the
+    result stays CORRECT (recomputable persists, never cuts) but a later
+    materialization forfeits the per-iteration reuse non-eager mode
+    exists for — don't interleave non-eager pagerank with engine rounds.
 
     Returns (node, rank_micro BIGINT, rank DOUBLE = round(micro/scale, 8)),
     one row per distinct node.

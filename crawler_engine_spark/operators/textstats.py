@@ -107,17 +107,18 @@ _MARKER_SCRIPT_RANGES = [
 ]
 if any(
     # endpoints are emitted as LITERAL chars into a [...] class, so they
-    # must be >= U+0041 AND not a class metacharacter — backslash/]/^
-    # (U+005C-) are >= U+0041 but would corrupt the class in either
-    # engine (interior chars of a range never appear literally, only
-    # the two endpoints do)
-    not (0x41 <= a <= b <= 0xFFFF) or {a, b} & {0x5C, 0x5D, 0x5E}
+    # must be >= U+0041 AND not a class metacharacter — [/backslash/]/^
+    # (U+005B-U+005E) are >= U+0041 but would corrupt the class: Java
+    # regex treats a bare '[' inside a class as a nested-class opener
+    # (interior chars of a range never appear literally, only the two
+    # endpoints do)
+    not (0x41 <= a <= b <= 0xFFFF) or {a, b} & {0x5B, 0x5C, 0x5D, 0x5E}
     for rs in list(_SCRIPT_BLOCKS.values()) + [_MARKER_SCRIPT_RANGES]
     for a, b in rs
 ):
     raise ValueError(
         "script range endpoints must be BMP, >= U+0041, and not a class "
-        "metacharacter (\\ ] ^, U+005C-U+005E)"
+        "metacharacter ([ \\ ] ^, U+005B-U+005E)"
     )
 if set(_SCRIPT_BLOCKS) & set(_LANG_MARKERS):
     raise ValueError("script-block languages must not overlap marker languages")
@@ -126,8 +127,8 @@ if set(_SCRIPT_BLOCKS) & set(_LANG_MARKERS):
 def _range_class_inner(ranges: list) -> str:
     """``a-bc-d`` literal-char range body for a regex char class — valid in
     both Java regex (Spark) and RE2 (DuckDB); endpoint chars are >= U+0041
-    and never ``\\``/``]``/``^``, so no class metacharacter escaping is
-    needed (import-time asserted)."""
+    and never ``[``/``\\``/``]``/``^``, so no class metacharacter escaping
+    is needed (import-time asserted)."""
     return "".join(f"{chr(a)}-{chr(b)}" for a, b in ranges)
 
 

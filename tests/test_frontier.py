@@ -82,10 +82,10 @@ def engine_run(spark, world):
 
 
 def test_round_commit_drains_cache_registry(engine_run):
-    """r05 review follow-up: global_fetch_sequence hands its arranged
-    projection across the call boundary cached; the round-commit cleanup
-    must drain the session registry, or a long crawl strands one
-    batch-sized cache per round."""
+    """r05 review follow-up: rounds register their intra-round persists
+    (gated / selected / batch / flagged) in the session registry; the
+    round-commit cleanup must drain it, or a long crawl strands several
+    batch-sized caches per round."""
     from crawler_engine_spark import caches
 
     eng, records = engine_run

@@ -123,15 +123,63 @@ def test_politeness_selection_has_no_single_partition_exchange(spark, frontier_d
 
 def test_fetch_sequence_has_no_single_partition_window(spark, frontier_df):
     """fetch_seq must be a distributed ranked sequence (range partition +
-    offsets), not `Window [...] over ()` on one partition."""
+    offsets), not `Window [...] over ()` on one partition.  The one
+    allowed SinglePartition exchange is the ≤n_part-row count fold that
+    builds the 1-row offset map (metadata, not data); every Window node
+    must carry a partition spec."""
     from crawler_engine_spark.frontier import politeness
 
     with_budget = frontier_df.withColumn("host_budget", F.lit(3))
     selected, _ = politeness.select_batch(with_budget, num_salts=4)
     seq = politeness.global_fetch_sequence(selected)
     plan = _plan(seq)
-    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "rangepartitioning" in plan.lower() or "RangePartitioning" in plan
+    # the row_number window is partitioned by _pid (select_batch's own
+    # host/salt windows also appear upstream — those are partitioned too,
+    # by construction)
+    assert "windowspecdefinition(_pid" in plan, plan
+
+
+def test_fetch_sequence_offsets_share_one_layout(spark, frontier_df):
+    """r05 review: the offset map and the row numbers must describe ONE
+    partition layout.  The offsets are derived in-query from the shared
+    cached projection (never collected and baked as a literal map), so a
+    registry drain at an arbitrary point followed by a re-evaluation —
+    fresh boundary sampling — still yields a self-consistent sequence.
+    Plan lock: both branches scan the cache; value lock: fetch_seq is a
+    dense offset-based permutation aligned with the total priority order,
+    identical per key before and after the drain."""
+    from crawler_engine_spark import caches
+    from crawler_engine_spark.frontier import politeness
+
+    with_budget = frontier_df.withColumn("host_budget", F.lit(3))
+    selected, _ = politeness.select_batch(with_budget, num_salts=4)
+    seq = politeness.global_fetch_sequence(selected, offset=7)
+
+    def seq_by_key(rows):
+        ordered = sorted(rows, key=lambda r: r["fetch_seq"])
+        assert [r["fetch_seq"] for r in ordered] == list(
+            range(7, 7 + len(ordered))
+        )
+        keys = [
+            tuple(r[c] for c in politeness.PRIORITY_COLS + ["url_hash"])
+            for r in ordered
+        ]
+        assert keys == sorted(keys)
+        return dict(zip(keys, (r["fetch_seq"] for r in ordered)))
+
+    first = seq_by_key(seq.collect())
+    executed = seq._jdf.queryExecution().executedPlan().toString()
+    cache_scans = executed.count("TableCacheQueryStage") + executed.count(
+        "InMemoryTableScan"
+    )
+    assert cache_scans >= 2, executed
+    # drain the registry mid-lifetime (the "release at any point is
+    # correctness-safe" contract) and re-evaluate
+    assert caches.release_all() >= 1
+    assert seq_by_key(seq.collect()) == first
+    spark.catalog.clearCache()  # the re-evaluation re-fills the cache
 
 
 # ------------------------------------------------------- round-2 operators
