@@ -93,6 +93,28 @@ _SCRIPT_BLOCKS = {
     "th": [(0x0E00, 0x0E7F)],                    # Thai
     "el": [(0x0370, 0x03FF)],                    # Greek and Coptic
     "he": [(0x0590, 0x05FF)],                    # Hebrew
+    # r05 second tier: the remaining majority-script languages a real
+    # Common-Crawl snapshot carries in volume.  Same contract as above
+    # (BMP, pairwise-disjoint, class-literal-safe endpoints); ISO 639-1
+    # keys name the DOMINANT language of each script — the known
+    # approximation (Devanagari→hi covers mr/ne, Arabic→ar covers fa/ur,
+    # Bengali→bn covers as) is documented here rather than guessed at.
+    "bn": [(0x0980, 0x09FF)],                    # Bengali
+    "pa": [(0x0A00, 0x0A7F)],                    # Gurmukhi
+    "gu": [(0x0A80, 0x0AFF)],                    # Gujarati
+    "or": [(0x0B00, 0x0B7F)],                    # Odia
+    "ta": [(0x0B80, 0x0BFF)],                    # Tamil
+    "te": [(0x0C00, 0x0C7F)],                    # Telugu
+    "kn": [(0x0C80, 0x0CFF)],                    # Kannada
+    "ml": [(0x0D00, 0x0D7F)],                    # Malayalam
+    "si": [(0x0D80, 0x0DFF)],                    # Sinhala
+    "lo": [(0x0E80, 0x0EFF)],                    # Lao
+    "bo": [(0x0F00, 0x0FFF)],                    # Tibetan
+    "my": [(0x1000, 0x109F)],                    # Myanmar
+    "ka": [(0x10A0, 0x10FF)],                    # Georgian
+    "hy": [(0x0530, 0x058F)],                    # Armenian
+    "am": [(0x1200, 0x137F)],                    # Ethiopic
+    "km": [(0x1780, 0x17FF)],                    # Khmer
 }
 # The scripts the marker languages are written in: ASCII letters, Latin-1 +
 # Latin Extended-A/B, Latin Extended Additional (Vietnamese diacritics),
@@ -122,6 +144,15 @@ if any(
     )
 if set(_SCRIPT_BLOCKS) & set(_LANG_MARKERS):
     raise ValueError("script-block languages must not overlap marker languages")
+_ALL_RANGES = sorted(
+    r
+    for rs in list(_SCRIPT_BLOCKS.values()) + [_MARKER_SCRIPT_RANGES]
+    for r in rs
+)
+if any(b[0] <= a[1] for a, b in zip(_ALL_RANGES, _ALL_RANGES[1:])):
+    # overlap would double-count a char into two scripts (or into a script
+    # AND the marker baseline), silently biasing the argmax
+    raise ValueError("script/marker char ranges must be pairwise disjoint")
 
 
 def _range_class_inner(ranges: list) -> str:
@@ -238,7 +269,8 @@ def lang_id_col(text: Column) -> Column:
     'und' on zero hits — unchanged for Latin/Cyrillic text, which has zero
     script-block chars and therefore never takes stage 1.
 
-    The nine per-block counts are each one regexp_replace+length pass over
+    The per-block counts (one per :data:`_SCRIPT_BLOCKS` entry, plus the
+    marker baseline) are each one regexp_replace+length pass over
     the text; the single-element ``aggregate`` binds the count array so
     every count evaluates exactly ONCE however often the decision tree
     references it (the :func:`_lang_counts_agg` finish trick — an unbound
@@ -246,7 +278,7 @@ def lang_id_col(text: Column) -> Column:
     marker aggregate sits in the CASE's otherwise-branch, so script-classified
     rows never tokenize — and the whole script stage sits behind ONE
     ``rlike`` containment gate (early-exit scan), so a Latin/Cyrillic-only
-    row pays one cheap scan instead of nine counts (a zero-script-char row
+    row pays one cheap scan instead of the per-block counts (a zero-script-char row
     would have fallen through anyway: script_max = 0 is never > mk, so the
     gate is pure optimization — the ungated DuckDB oracle stays
     bit-identical; A/B'd 3.28 s → marker-era cost at sf0.1)."""

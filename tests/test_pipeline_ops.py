@@ -400,7 +400,8 @@ def test_lang_id_wide_coverage(spark):
 
 _SCRIPT_SAMPLES = {
     # VERDICT r04 #2: non-Latin scripts must classify instead of falling to
-    # 'und' — 8 scripts, plus the latin-dominant and kanji-only edge rules.
+    # 'und', plus the latin-dominant and kanji-only edge rules.  r05 widens
+    # the table to 24 scripts; one sample per block.
     "zh": "这是一个用于测试的中文句子内容很多而且没有假名",
     "ja": "これは日本語のテスト文章です漢字も含まれています",
     "ko": "이것은 한국어 테스트 문장입니다 감사합니다",
@@ -409,13 +410,29 @@ _SCRIPT_SAMPLES = {
     "th": "นี่คือประโยคทดสอบภาษาไทยและยาวพอสมควร",
     "el": "αυτή είναι μια δοκιμαστική πρόταση στα ελληνικά",
     "he": "זהו משפט בדיקה בעברית והוא ארוך מספיק",
+    "bn": "এটি একটি বাংলা পরীক্ষার বাক্য এবং এটি যথেষ্ট দীর্ঘ",
+    "pa": "ਇਹ ਪੰਜਾਬੀ ਵਿੱਚ ਇੱਕ ਟੈਸਟ ਵਾਕ ਹੈ ਅਤੇ ਇਹ ਕਾਫ਼ੀ ਲੰਬਾ ਹੈ",
+    "gu": "આ ગુજરાતીમાં એક પરીક્ષણ વાક્ય છે અને તે પૂરતું લાંબું છે",
+    "or": "ଏହା ଓଡ଼ିଆରେ ଏକ ପରୀକ୍ଷା ବାକ୍ୟ ଏବଂ ଏହା ଯଥେଷ୍ଟ ଲମ୍ବା",
+    "ta": "இது தமிழில் ஒரு சோதனை வாக்கியம் மற்றும் இது போதுமான நீளமானது",
+    "te": "ఇది తెలుగులో ఒక పరీక్ష వాక్యం మరియు ఇది తగినంత పొడవుగా ఉంది",
+    "kn": "ಇದು ಕನ್ನಡದಲ್ಲಿ ಒಂದು ಪರೀಕ್ಷಾ ವಾಕ್ಯ ಮತ್ತು ಇದು ಸಾಕಷ್ಟು ಉದ್ದವಾಗಿದೆ",
+    "ml": "ഇത് മലയാളത്തിലെ ഒരു പരീക്ഷണ വാക്യമാണ് അത് മതിയായ നീളമുണ്ട്",
+    "si": "මෙය සිංහල භාෂාවෙන් පරීක්ෂණ වාක්‍යයකි එය ප්‍රමාණවත් දිගය",
+    "lo": "ນີ້ແມ່ນປະໂຫຍກທົດສອບພາສາລາວ ແລະມັນຍາວພໍສົມຄວນ",
+    "bo": "འདི་ནི་བོད་ཡིག་གི་ཚོད་ལྟའི་ཚིག་གྲུབ་ཡིན",
+    "my": "ဤသည်မှာ မြန်မာဘာသာဖြင့် စမ်းသပ်စာကြောင်းဖြစ်သည်",
+    "ka": "ეს არის სატესტო წინადადება ქართულ ენაზე და საკმარისად გრძელია",
+    "hy": "սա թեստային նախադասություն է հայերենով և բավական երկար է",
+    "am": "ይህ በአማርኛ የሙከራ ዓረፍተ ነገር ነው እና በቂ ርዝመት አለው",
+    "km": "នេះជាប្រយោគសាកល្បងជាភាសាខ្មែរ ហើយវាវែងគ្រប់គ្រាន់",
 }
 
 
 def test_lang_id_scripts(spark):
-    """Script-block stage: 8 non-Latin scripts classify; kana attributes Han
-    to 'ja' (kanji-only text stays 'zh'); a latin-dominant doc with one CJK
-    char stays on the marker path."""
+    """Script-block stage: every non-Latin script in _SCRIPT_BLOCKS
+    classifies; kana attributes Han to 'ja' (kanji-only text stays 'zh');
+    a latin-dominant doc with one CJK char stays on the marker path."""
     rows = dict(_SCRIPT_SAMPLES)
     rows["zh_kanji_only"] = "漢字漢字漢字漢字"
     rows["en_with_cjk"] = "the cat sat on the mat 好 and the dog is in the house"
