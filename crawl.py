@@ -210,7 +210,10 @@ def cmd_index(args) -> None:
                 "index: --merge takes its parameters from the stored "
                 f"indexes; drop {', '.join(ignored)}"
             )
-        spark = get_spark("crawl-index")
+    # one session-creation site for both branches (all pre-JVM argument
+    # validation is above this line)
+    spark = get_spark("crawl-index")
+    if args.merge:
         params = dedup.merge_lsh_index(spark, args.merge.split(","), args.out)
         print(json.dumps({
             "command": "index", "merged": args.merge.split(","),
@@ -218,7 +221,6 @@ def cmd_index(args) -> None:
         }))
         spark.stop()
         return
-    spark = get_spark("crawl-index")
     df = spark.read.parquet(args.docs)
     # only pass flags the user set — write_lsh_index's own signature
     # supplies the defaults (single source of truth; None is the
@@ -257,12 +259,19 @@ def cmd_ingest(args) -> None:
     # empty page store with exit code 0 (validated before JVM startup)
     if args.max_slice_bytes is not None and args.max_slice_bytes <= 0:
         raise SystemExit("ingest: --max-slice-bytes must be > 0")
+    statuses = None
+    if args.cdx_status:
+        try:
+            statuses = [int(s) for s in args.cdx_status.split(",")]
+        except ValueError:
+            # fail fast and clean like the other pre-JVM argument
+            # checks: '200,' or '200, 301' must not dump a traceback
+            raise SystemExit(
+                "ingest: --cdx-status must be a comma-separated list "
+                f"of integers; got {args.cdx_status!r}"
+            )
     spark = get_spark("crawl-ingest")
     if args.cdx:
-        statuses = (
-            [int(s) for s in args.cdx_status.split(",")]
-            if args.cdx_status else None
-        )
         mimes = args.cdx_mime.split(",") if args.cdx_mime else None
         listing = read_cdxj(
             spark, args.cdx, warc_root=args.warc_root,

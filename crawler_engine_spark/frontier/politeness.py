@@ -24,6 +24,8 @@ simulator is preserved while the shuffle skew is bounded.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -149,48 +151,131 @@ def select_batch(
     return selected, remainder
 
 
-def global_fetch_sequence(selected: DataFrame, offset: int = 0) -> DataFrame:
+#: Bucket-count cap for :func:`global_fetch_sequence`.  Each bucket's
+#: row_number window is one reducer task and each row pays one struct
+#: comparison per boundary, so the cap bounds per-row CPU while keeping
+#: per-reducer row counts at round-batch scale (a politeness-budgeted
+#: round batch split 128 ways).  Raise via the ``n_buckets`` argument on
+#: clusters whose round batches outgrow it.
+DEFAULT_MAX_SEQ_BUCKETS = 128
+
+#: Order-minimum sentinels used to fold a NULL sort-key field into the
+#: bucket key: Spark sorts nulls FIRST ascending, and the type minimum is
+#: the closest total-order stand-in.  A genuine minimum value and a null
+#: then share a bucket key — same bucket, window orders them null-first
+#: within it — which preserves global monotonicity (nothing orders
+#: between them).
+_ORDER_MIN = {
+    "tinyint": -(2**7), "smallint": -(2**15),
+    "int": -(2**31), "bigint": -(2**63),
+    "float": float("-inf"), "double": float("-inf"),
+}
+
+
+def global_fetch_sequence(
+    selected: DataFrame, offset: int = 0, n_buckets: int | None = None
+) -> DataFrame:
     """Assign a deterministic global ``fetch_seq`` by total priority order
-    WITHOUT a single-partition window: range-repartition by the sort key,
-    per-partition row_number, plus per-partition offsets.
+    WITHOUT a single-partition window: deterministic order-monotonic
+    bucketing, per-bucket row_number, plus per-bucket offsets.
 
-    The offsets are NOT collected to the driver and baked into the plan
-    as a literal map — a re-evaluation of the range shuffle samples new
-    boundaries, and a fresh layout paired with a stale literal map would
-    silently corrupt the sequence (duplicate / gapped fetch_seq).
-    Instead the cumulative-offset map is derived from the SAME cached
-    ``arranged`` projection inside the one query: a tiny
-    count-per-partition aggregate folded into a single-row
-    ``map<pid, offset>`` (``F.aggregate`` over the sorted counts) that is
-    broadcast back over a 1×N cross join.  The cache is the sharing
-    point: both branches scan one ``InMemoryRelation``, so they see one
-    buffers RDD — while cached, after an executor loss (recompute reuses
-    the range partitioner already baked into the RDD), and even after a
-    registry drain (the relation rebuilds its RDD once and both branches
-    read the rebuild).  Offsets and row numbers therefore always describe
-    the same layout; any evaluation is self-consistent, which is the
-    recompute-safety the cache registry's "drain at any point" contract
-    assumes (value-locked in tests/test_plans.py).  Exchange-level reuse
-    alone would NOT give this: column pruning narrows the counts branch,
-    so the two range exchanges differ and ``ReusedExchange`` cannot
-    match them.
+    Correctness here must not depend on two plan branches sharing one
+    physical layout.  The previous design range-repartitioned and keyed
+    offsets by ``spark_partition_id()``, leaning on the cache as the
+    sharing point — but a DataFrame *derived* from the result after a
+    registry drain re-plans without the ``InMemoryRelation``
+    substitution, and the two range exchanges (the counts branch is
+    column-pruned, so ``ReusedExchange`` cannot match them) then sample
+    boundaries independently; at sampled-boundary scale the layouts can
+    differ and a stale map over a fresh layout silently corrupts the
+    sequence (r05 review).
 
-    The arranged cache is registered in the session registry — the
-    engine drains it at each round commit, otherwise one batch-sized
-    cache per round would outlive its round.  The single-partition
-    exchange introduced by the offset fold carries ≤ n_part count rows
-    (metadata, not data); the row_number window stays partitioned by
-    ``_pid``.
+    So the bucket id is made a pure function of row values: boundary
+    keys are computed ONCE on the driver from a deterministic
+    content-hash sample (``pmod(url_hash, m) == 0`` — no RNG, no
+    RDD-id-seeded sampling) and baked into the plan as struct literals;
+    ``_pid`` = count of boundaries ≤ the row's sort key.  Every
+    evaluation of every branch of every derived plan — cached, drained,
+    recomputed after executor loss — assigns identical bucket ids, so
+    offsets and row numbers always describe the same layout by
+    construction.  The cache below is a pure performance optimization
+    (``selected`` is two stacked windows) and is registered in the
+    session registry, which the engine drains at each round commit;
+    draining is now genuinely correctness-free, as the registry contract
+    states (value-locked in tests/test_plans.py, including the
+    derived-plan-after-drain case).
+
+    The cumulative-offset map stays in-query: a count-per-bucket
+    aggregate folded into a single-row ``map<pid, offset>``
+    (``F.aggregate`` over the sorted counts) broadcast back over a 1×N
+    cross join.  The single-partition exchange it introduces carries
+    ≤ n_buckets count rows (metadata, not data); the row_number window
+    stays partitioned by ``_pid``.  Boundary sampling costs two small
+    driver actions per call (a count, which doubles as the eager cache
+    fill, and a ~40·n_buckets-row collect against the cache).
     """
     order_cols = PRIORITY_COLS + ["url_hash"]
-    n_part = max(selected.sparkSession.sparkContext.defaultParallelism, 1)
-    arranged = (
-        selected.repartitionByRange(n_part, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-    ).cache()
+    spark = selected.sparkSession
+    if n_buckets is None:
+        n_buckets = min(
+            max(spark.sparkContext.defaultParallelism, 1),
+            DEFAULT_MAX_SEQ_BUCKETS,
+        )
+    arranged = selected.persist()
     caches.register(arranged)
-    counts = arranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    total = arranged.count()  # deterministic; also fills the cache
+
+    dtypes = dict(selected.dtypes)
+    key_fields = []
+    for c in order_cols:
+        col = F.col(c)
+        sentinel = _ORDER_MIN.get(dtypes[c])
+        if sentinel is not None:
+            col = F.coalesce(col, F.lit(sentinel).cast(dtypes[c]))
+        key_fields.append(col.alias(c))
+    key = F.struct(*key_fields)
+
+    boundaries: list = []
+    if total > 0 and n_buckets > 1:
+        m = max(1, total // (n_buckets * 40))
+        sample = (
+            arranged.where(F.pmod(F.col("url_hash"), F.lit(m)) == 0)
+            .select(*order_cols)
+            .collect()
+        )
+        keys = sorted(
+            tuple(r[c] for c in order_cols)
+            for r in sample
+            if all(r[c] is not None for c in order_cols)
+        )
+        if keys:
+            step = len(keys) / n_buckets
+            for i in range(1, n_buckets):
+                b = keys[min(int(i * step), len(keys) - 1)]
+                if not boundaries or b != boundaries[-1]:
+                    boundaries.append(b)
+
+    if boundaries:
+        def _blit(b):
+            return F.struct(
+                *[
+                    F.lit(v).cast(dtypes[c]).alias(c)
+                    for c, v in zip(order_cols, b)
+                ]
+            )
+
+        pid = reduce(
+            lambda a, b: a + b,
+            [
+                F.when(key >= _blit(b), F.lit(1)).otherwise(F.lit(0))
+                for b in boundaries
+            ],
+        ).cast("int")
+    else:
+        pid = F.lit(0)
+    keyed = arranged.withColumn("_pid", pid)
+
+    counts = keyed.groupBy("_pid").agg(F.count("*").alias("_n"))
     offset_map = counts.agg(
         F.aggregate(
             F.sort_array(F.collect_list(F.struct("_pid", "_n"))),
@@ -207,7 +292,7 @@ def global_fetch_sequence(selected: DataFrame, offset: int = 0) -> DataFrame:
     )
     w = Window.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
     return (
-        arranged.crossJoin(F.broadcast(offset_map))
+        keyed.crossJoin(F.broadcast(offset_map))
         .withColumn(
             "fetch_seq",
             (F.row_number().over(w) - 1 + F.col("_om")[F.col("_pid")]).cast("long"),

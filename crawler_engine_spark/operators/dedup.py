@@ -500,7 +500,20 @@ def merge_lsh_index(spark, paths: list, out: str) -> dict:
 
     if not paths or len(paths) < 2:
         raise ValueError("merge_lsh_index needs at least two input indexes")
-    if any(os.path.abspath(p) == os.path.abspath(out) for p in paths):
+    # the marker read/write below uses plain open(), so indexes live on a
+    # local (or locally-mounted) filesystem — refuse URI-scheme paths
+    # outright rather than mis-compare them with abspath (which would just
+    # prepend the cwd to "s3://...")
+    for p in list(paths) + [out]:
+        if "://" in p:
+            raise ValueError(
+                f"merge_lsh_index operates on local index paths; got {p!r}"
+            )
+    # realpath, not abspath: a symlinked input aliasing `out` would pass a
+    # string compare, then the overwrite-write would delete the very
+    # parquet the lazy union plan still has to scan — destroying the
+    # source index (r05 review)
+    if any(os.path.realpath(p) == os.path.realpath(out) for p in paths):
         raise ValueError("merge output must not be one of the inputs")
     idxs = [read_lsh_index(spark, p) for p in paths]
     keys = ("num_perm", "bands", "shingle_n", "id_col")

@@ -285,13 +285,18 @@ def hits(
     caches.register(nodes)  # at creation: drainable even if a step fails
     n = nodes.count()
     if n == 0:
-        return nodes.select(
+        # mirror pagerank's empty branch: materialize the (empty) result
+        # eagerly, then release the registered nodes cache — returning a
+        # lazy projection here stranded the persist for the session
+        out = nodes.limit(0).select(
             "node",
             F.lit(0).cast("long").alias("hub_micro"),
             F.lit(0).cast("long").alias("auth_micro"),
             F.lit(0.0).alias("hub"),
             F.lit(0.0).alias("auth"),
-        )
+        ).localCheckpoint(eager=True)
+        caches.release(nodes)
+        return out
     esrc = e.persist()
     caches.register(esrc)
     init = scale // n

@@ -252,12 +252,14 @@ CDX_LISTING_SCHEMA = (
 #: Observability hooks (the MINHASH_CALL_COUNTER pattern — set to
 #: ``SparkContext.accumulator(0)`` BEFORE calling warc_pages_from_cdx; the
 #: accumulator rides the kernel closure to the workers).  SLICE counts every
-#: range read performed; OVERSIZE counts listing rows skipped as malformed
-#: by ``max_slice_bytes``.  This is how the pushdown test proves filtered
+#: range read performed; MALFORMED counts every listing row skipped as
+#: malformed — null/negative offset, non-positive length, OR a length over
+#: ``max_slice_bytes`` (one counter for the whole untrusted-row guard, not
+#: just the size cap).  This is how the pushdown test proves filtered
 #: listing rows are never opened: monkeypatching module globals does not
 #: reach executor processes, a captured accumulator does.
 CDX_SLICE_READ_COUNTER = None
-CDX_OVERSIZE_COUNTER = None
+CDX_MALFORMED_COUNTER = None
 
 #: Default per-slice read cap: one Common Crawl segment archive is ~1 GiB,
 #: and a legitimate listing row never covers more than one archive — a
@@ -325,7 +327,7 @@ def warc_pages_from_cdx(
     listing = listing.sortWithinPartitions("warc_path", "offset")
     # captured at construction, serialized into the worker closure
     read_counter = CDX_SLICE_READ_COUNTER
-    oversize_counter = CDX_OVERSIZE_COUNTER
+    malformed_counter = CDX_MALFORMED_COUNTER
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "warc_ts", "http_status", "html", "warc_path"]
@@ -346,8 +348,8 @@ def warc_pages_from_cdx(
                             or int(ln) <= 0
                             or int(ln) > max_slice_bytes
                         ):
-                            if oversize_counter is not None:
-                                oversize_counter.add(1)
+                            if malformed_counter is not None:
+                                malformed_counter.add(1)
                             continue
                         if read_counter is not None:
                             read_counter.add(1)

@@ -317,6 +317,18 @@ def test_lsh_index_merge_equivalence(spark, tmp_path):
         dedup.merge_lsh_index(spark, [pa, pb], pa)
     with _pytest.raises(ValueError, match="at least two"):
         dedup.merge_lsh_index(spark, [pa], str(tmp_path / "y"))
+    # r05 review: a symlink aliasing the output must be caught (realpath,
+    # not string compare) — otherwise the overwrite destroys its own input
+    import os as _os
+
+    plink = str(tmp_path / "a_link")
+    _os.symlink(pa, plink)
+    with _pytest.raises(ValueError, match="inputs"):
+        dedup.merge_lsh_index(spark, [plink, pb], pa)
+    # and URI-scheme paths can't be identity-checked (or marker-read) by
+    # the local-filesystem index IO — refuse, don't mis-compare
+    with _pytest.raises(ValueError, match="local"):
+        dedup.merge_lsh_index(spark, [pa, "s3://bucket/idx"], pm)
 
 
 def test_lsh_index_rewrite_crash_leaves_no_readable_index(spark, tmp_path, monkeypatch):

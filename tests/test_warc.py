@@ -252,12 +252,12 @@ def test_cdx_oversized_length_counts_malformed(spark, tmp_path):
     acc_read = spark.sparkContext.accumulator(0)
     acc_bad = spark.sparkContext.accumulator(0)
     warc_mod.CDX_SLICE_READ_COUNTER = acc_read
-    warc_mod.CDX_OVERSIZE_COUNTER = acc_bad
+    warc_mod.CDX_MALFORMED_COUNTER = acc_bad
     try:
         got = warc_pages_from_cdx(cdx, max_slice_bytes=1 << 20).collect()
     finally:
         warc_mod.CDX_SLICE_READ_COUNTER = None
-        warc_mod.CDX_OVERSIZE_COUNTER = None
+        warc_mod.CDX_MALFORMED_COUNTER = None
     assert acc_read.value == 3 and acc_bad.value == 5
     assert sorted(r["url"] for r in got) == [u for u, _, _ in recs]
 
