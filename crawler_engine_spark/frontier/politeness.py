@@ -24,8 +24,6 @@ simulator is preserved while the shuffle skew is bounded.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -172,15 +170,28 @@ _ORDER_MIN = {
 }
 
 
+#: Fixed content-hash sampling modulus for the in-plan boundary estimate:
+#: one in ``DEFAULT_SEQ_SAMPLE_MOD`` rows (by ``pmod(url_hash, mod)``)
+#: contributes its sort key to the boundary sample.  The sampled-key
+#: array lives in one aggregate row, so its size — batch/mod structs —
+#: is the knob's memory bound: a politeness-budgeted round batch of 50M
+#: URLs yields a ~780k-key (~25 MB) broadcast row at the default.  Raise
+#: the modulus on clusters whose round batches outgrow that.
+DEFAULT_SEQ_SAMPLE_MOD = 64
+
+
 def global_fetch_sequence(
-    selected: DataFrame, offset: int = 0, n_buckets: int | None = None
+    selected: DataFrame,
+    offset: int = 0,
+    n_buckets: int | None = None,
+    sample_mod: int = DEFAULT_SEQ_SAMPLE_MOD,
 ) -> DataFrame:
     """Assign a deterministic global ``fetch_seq`` by total priority order
     WITHOUT a single-partition window: deterministic order-monotonic
     bucketing, per-bucket row_number, plus per-bucket offsets.
 
     Correctness here must not depend on two plan branches sharing one
-    physical layout.  The previous design range-repartitioned and keyed
+    physical layout.  An earlier design range-repartitioned and keyed
     offsets by ``spark_partition_id()``, leaning on the cache as the
     sharing point — but a DataFrame *derived* from the result after a
     registry drain re-plans without the ``InMemoryRelation``
@@ -191,28 +202,34 @@ def global_fetch_sequence(
     sequence (r05 review).
 
     So the bucket id is made a pure function of row values: boundary
-    keys are computed ONCE on the driver from a deterministic
-    content-hash sample (``pmod(url_hash, m) == 0`` — no RNG, no
-    RDD-id-seeded sampling) and baked into the plan as struct literals;
-    ``_pid`` = count of boundaries ≤ the row's sort key.  Every
-    evaluation of every branch of every derived plan — cached, drained,
-    recomputed after executor loss — assigns identical bucket ids, so
-    offsets and row numbers always describe the same layout by
-    construction.  The cache below is a pure performance optimization
-    (``selected`` is two stacked windows) and is registered in the
-    session registry, which the engine drains at each round commit;
-    draining is now genuinely correctness-free, as the registry contract
-    states (value-locked in tests/test_plans.py, including the
+    keys come from a deterministic content-hash sample
+    (``pmod(url_hash, sample_mod) == 0`` — no RNG, no RDD-id-seeded
+    sampling) sorted into a single-row array, evenly probed for
+    ``n_buckets − 1`` boundary structs, and broadcast over the batch;
+    ``_pid`` = count of boundaries ≤ the row's sort key.  The boundary
+    subplan is pure data → value, so even when a branch re-evaluates it
+    from scratch — cached, drained, recomputed after executor loss — it
+    produces the identical array, and offsets and row numbers always
+    describe the same layout by construction.  Everything stays in-plan:
+    no driver action is spent here (an intermediate version collected
+    boundaries to the driver as literals — same determinism, but the two
+    extra driver actions per round cost ~14% crawl throughput in an
+    interleaved A/B).  The cache below is a pure performance
+    optimization (``selected`` is two stacked windows) and is registered
+    in the session registry, which the engine drains at each round
+    commit; draining is genuinely correctness-free, as the registry
+    contract states (value-locked in tests/test_plans.py, including the
     derived-plan-after-drain case).
 
-    The cumulative-offset map stays in-query: a count-per-bucket
+    The cumulative-offset map also stays in-query: a count-per-bucket
     aggregate folded into a single-row ``map<pid, offset>``
     (``F.aggregate`` over the sorted counts) broadcast back over a 1×N
-    cross join.  The single-partition exchange it introduces carries
-    ≤ n_buckets count rows (metadata, not data); the row_number window
-    stays partitioned by ``_pid``.  Boundary sampling costs two small
-    driver actions per call (a count, which doubles as the eager cache
-    fill, and a ~40·n_buckets-row collect against the cache).
+    cross join.  The two single-partition exchanges this operator
+    introduces carry one metadata-sized row each (the boundary-sample
+    array and the offset map); the row_number window stays partitioned
+    by ``_pid``.  When the sample is smaller than ``n_buckets`` (tiny
+    batches), probing yields fewer distinct boundaries and the bucket
+    count adapts downward automatically.
     """
     order_cols = PRIORITY_COLS + ["url_hash"]
     spark = selected.sparkSession
@@ -223,7 +240,6 @@ def global_fetch_sequence(
         )
     arranged = selected.persist()
     caches.register(arranged)
-    total = arranged.count()  # deterministic; also fills the cache
 
     dtypes = dict(selected.dtypes)
     key_fields = []
@@ -235,45 +251,54 @@ def global_fetch_sequence(
         key_fields.append(col.alias(c))
     key = F.struct(*key_fields)
 
-    boundaries: list = []
-    if total > 0 and n_buckets > 1:
-        m = max(1, total // (n_buckets * 40))
-        sample = (
-            arranged.where(F.pmod(F.col("url_hash"), F.lit(m)) == 0)
-            .select(*order_cols)
-            .collect()
+    if n_buckets > 1:
+        sample = arranged.agg(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.pmod(F.col("url_hash"), F.lit(sample_mod)) == 0,
+                        key,
+                    )
+                )
+            ).alias("_keys")
         )
-        keys = sorted(
-            tuple(r[c] for c in order_cols)
-            for r in sample
-            if all(r[c] is not None for c in order_cols)
-        )
-        if keys:
-            step = len(keys) / n_buckets
-            for i in range(1, n_buckets):
-                b = keys[min(int(i * step), len(keys) - 1)]
-                if not boundaries or b != boundaries[-1]:
-                    boundaries.append(b)
+        nk = F.size(F.col("_keys"))
 
-    if boundaries:
-        def _blit(b):
-            return F.struct(
-                *[
-                    F.lit(v).cast(dtypes[c]).alias(c)
-                    for c, v in zip(order_cols, b)
-                ]
+        def _probe(i):
+            # even probe into the sorted sample; F.get is 0-based and
+            # yields NULL (not an ANSI error) out of bounds, so an empty
+            # sample degrades to an empty boundary array
+            idx = F.least(
+                ((i.cast("long") * nk) / F.lit(n_buckets)).cast("int"),
+                nk - F.lit(1),
             )
+            return F.get(F.col("_keys"), idx)
 
-        pid = reduce(
-            lambda a, b: a + b,
-            [
-                F.when(key >= _blit(b), F.lit(1)).otherwise(F.lit(0))
-                for b in boundaries
-            ],
-        ).cast("int")
+        bounds = sample.select(
+            F.array_distinct(
+                F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(n_buckets - 1)), _probe
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("_bnd")
+        )
+        keyed = (
+            arranged.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "_pid",
+                F.aggregate(
+                    F.col("_bnd"),
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(key >= b, F.lit(1)).otherwise(F.lit(0)),
+                ).cast("int"),
+            )
+            .drop("_bnd")
+        )
     else:
-        pid = F.lit(0)
-    keyed = arranged.withColumn("_pid", pid)
+        keyed = arranged.withColumn("_pid", F.lit(0))
 
     counts = keyed.groupBy("_pid").agg(F.count("*").alias("_n"))
     offset_map = counts.agg(

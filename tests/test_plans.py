@@ -123,17 +123,23 @@ def test_politeness_selection_has_no_single_partition_exchange(spark, frontier_d
 
 def test_fetch_sequence_has_no_single_partition_window(spark, frontier_df):
     """fetch_seq must be a distributed ranked sequence (deterministic
-    literal-boundary buckets + offsets), not `Window [...] over ()` on
-    one partition.  The one allowed SinglePartition exchange is the
-    ≤n_buckets-row count fold that builds the 1-row offset map (metadata,
-    not data); every Window node must carry a partition spec."""
+    sampled-boundary buckets + offsets), not `Window [...] over ()` on
+    one partition.  SinglePartition exchanges are allowed ONLY as the
+    final-merge step of a global aggregate (the boundary-sample array
+    and the offset-map fold — one metadata row each, already reduced
+    map-side); batch data must never cross one.  Structurally: every
+    `Exchange SinglePartition` node's child must be a partial Aggregate,
+    and every Window node must carry a partition spec."""
     from crawler_engine_spark.frontier import politeness
 
     with_budget = frontier_df.withColumn("host_budget", F.lit(3))
     selected, _ = politeness.select_batch(with_budget, num_salts=4)
     seq = politeness.global_fetch_sequence(selected)
     plan = _plan(seq)
-    assert plan.count("Exchange SinglePartition") <= 1, plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            assert "Aggregate" in lines[i + 1], (ln, lines[i + 1])
     # the row_number window is partitioned by _pid (select_batch's own
     # host/salt windows also appear upstream — those are partitioned too,
     # by construction), and its exchange hashes on _pid
