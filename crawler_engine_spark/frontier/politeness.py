@@ -170,14 +170,35 @@ _ORDER_MIN = {
 }
 
 
-#: Fixed content-hash sampling modulus for the in-plan boundary estimate:
-#: one in ``DEFAULT_SEQ_SAMPLE_MOD`` rows (by ``pmod(url_hash, mod)``)
-#: contributes its sort key to the boundary sample.  The sampled-key
-#: array lives in one aggregate row, so its size — batch/mod structs —
-#: is the knob's memory bound: a politeness-budgeted round batch of 50M
-#: URLs yields a ~780k-key (~25 MB) broadcast row at the default.  Raise
-#: the modulus on clusters whose round batches outgrow that.
+#: Floor for the content-hash sampling modulus of the in-plan boundary
+#: estimate: one in ``mod`` rows (by ``pmod(url_hash, mod)``) contributes
+#: its sort key to the boundary sample.  The sampled-key array lives in
+#: ONE aggregate row — batch/mod structs — which crosses only the
+#: aggregate's SinglePartition final-merge exchange (the broadcast that
+#: follows carries at most ``n_buckets − 1`` probed boundary structs, not
+#: the sample).  The final-merge task's heap and sort time are therefore
+#: what the modulus bounds; :func:`seq_sample_mod` adapts it to the
+#: engine's free batch-size estimate so the sample stays ~40 keys per
+#: bucket at any batch size.
 DEFAULT_SEQ_SAMPLE_MOD = 64
+
+
+def seq_sample_mod(
+    est_batch_rows: int | None, n_buckets: int = DEFAULT_MAX_SEQ_BUCKETS
+) -> int:
+    """Adaptive sampling modulus for :func:`global_fetch_sequence`.
+
+    Targets ~40 sampled keys per bucket from a batch-size estimate the
+    caller already has for free (the engine passes the previous round's
+    ``fetched`` count — round batches are politeness-budget-bounded and
+    change gradually, and correctness never depends on the estimate:
+    a stale one only moves the sample size / bucket balance, both of
+    which degrade gracefully).  Clamped below by
+    ``DEFAULT_SEQ_SAMPLE_MOD`` so small batches keep a dense sample.
+    """
+    if not est_batch_rows or est_batch_rows <= 0:
+        return DEFAULT_SEQ_SAMPLE_MOD
+    return max(DEFAULT_SEQ_SAMPLE_MOD, est_batch_rows // (n_buckets * 40))
 
 
 def global_fetch_sequence(

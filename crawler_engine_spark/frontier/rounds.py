@@ -697,7 +697,12 @@ class CrawlEngine:
         # 2. politeness batch selection (salted two-phase window, W5)
         selected, remainder = politeness.select_batch(eligible, self.cfg.num_salts)
         selected = politeness.global_fetch_sequence(
-            selected, offset=int(prev["total_fetched"])
+            selected,
+            offset=int(prev["total_fetched"]),
+            # last round's batch size is already in the commit record —
+            # a cost-free estimate that keeps the boundary sample at
+            # ~40 keys/bucket however large the round batch grows
+            sample_mod=politeness.seq_sample_mod(int(prev.get("fetched", 0))),
         ).cache()
         caches.register(selected)
 

@@ -138,13 +138,36 @@ def test_fetch_sequence_has_no_single_partition_window(spark, frontier_df):
     plan = _plan(seq)
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
-        if "Exchange SinglePartition" in ln:
-            assert "Aggregate" in lines[i + 1], (ln, lines[i + 1])
+        # a ReusedExchange line repeats the referenced exchange's
+        # description without a child of its own — the original node is
+        # checked where it appears
+        if "Exchange SinglePartition" in ln and "ReusedExchange" not in ln:
+            nxt = lines[i + 1] if i + 1 < len(lines) else ""
+            assert "Aggregate" in nxt and "partial_" in nxt, (ln, nxt)
     # the row_number window is partitioned by _pid (select_batch's own
     # host/salt windows also appear upstream — those are partitioned too,
     # by construction), and its exchange hashes on _pid
     assert "windowspecdefinition(_pid" in plan, plan
     assert "hashpartitioning(_pid" in plan, plan
+
+
+def test_seq_sample_mod_keeps_boundary_sample_bounded():
+    """r05 review: a fixed modulus grows the single-row boundary sample
+    linearly with batch size; the adaptive helper must keep it at ~40
+    keys per bucket at any batch size while clamping small batches to
+    the dense default."""
+    from crawler_engine_spark.frontier.politeness import (
+        DEFAULT_SEQ_SAMPLE_MOD,
+        seq_sample_mod,
+    )
+
+    assert seq_sample_mod(None) == DEFAULT_SEQ_SAMPLE_MOD
+    assert seq_sample_mod(0) == DEFAULT_SEQ_SAMPLE_MOD
+    assert seq_sample_mod(10_000) == DEFAULT_SEQ_SAMPLE_MOD
+    # SCALE.md's stated 2x10^8-row round-batch bound: sample stays
+    # ~40 keys/bucket (one extra key per bucket from floor division)
+    mod = seq_sample_mod(200_000_000, 128)
+    assert 200_000_000 // mod <= 128 * 41
 
 
 def test_fetch_sequence_deterministic_under_drain(spark, frontier_df):
