@@ -190,11 +190,18 @@ def seq_sample_mod(
 
     Targets ~40 sampled keys per bucket from a batch-size estimate the
     caller already has for free (the engine passes the previous round's
-    ``fetched`` count — round batches are politeness-budget-bounded and
+    ``fetched`` count, falling back to the committed ``frontier_size``
+    when that is 0 — round batches are politeness-budget-bounded and
     change gradually, and correctness never depends on the estimate:
     a stale one only moves the sample size / bucket balance, both of
     which degrade gracefully).  Clamped below by
     ``DEFAULT_SEQ_SAMPLE_MOD`` so small batches keep a dense sample.
+
+    Callers normally pass ``est_batch_rows`` to
+    :func:`global_fetch_sequence` instead of calling this directly:
+    the ~40-keys/bucket target only holds when ``n_buckets`` here is
+    the bucket count actually used, and that is resolved (from
+    ``defaultParallelism``) inside ``global_fetch_sequence``.
     """
     if not est_batch_rows or est_batch_rows <= 0:
         return DEFAULT_SEQ_SAMPLE_MOD
@@ -205,7 +212,8 @@ def global_fetch_sequence(
     selected: DataFrame,
     offset: int = 0,
     n_buckets: int | None = None,
-    sample_mod: int = DEFAULT_SEQ_SAMPLE_MOD,
+    sample_mod: int | None = None,
+    est_batch_rows: int | None = None,
 ) -> DataFrame:
     """Assign a deterministic global ``fetch_seq`` by total priority order
     WITHOUT a single-partition window: deterministic order-monotonic
@@ -259,6 +267,11 @@ def global_fetch_sequence(
             max(spark.sparkContext.defaultParallelism, 1),
             DEFAULT_MAX_SEQ_BUCKETS,
         )
+    if sample_mod is None:
+        # adapt AFTER resolving the real bucket count — computing the
+        # modulus against the 128-bucket cap on a 16-way cluster would
+        # oversample every bucket 8x (r05 review)
+        sample_mod = seq_sample_mod(est_batch_rows, n_buckets)
     arranged = selected.persist()
     caches.register(arranged)
 

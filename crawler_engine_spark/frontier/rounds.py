@@ -236,9 +236,16 @@ class CrawlEngine:
             shutil.rmtree(rd)
         frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
         os.makedirs(os.path.join(rd, "bloom"), exist_ok=True)
+        # seed count from the WRITTEN parquet (metadata-light, init-time
+        # only): round 1's fetch-sequence boundary sample adapts to it —
+        # with fetched == 0, frontier_size is the only batch-size signal
+        # the first round has, and it is the round whose batch can be
+        # largest (the full seed list)
+        n_seeds = self._read_frontier(0).count()
         with open(self._commit_path(0), "w") as f:
             json.dump(
                 {"round": 0, "fetched": 0, "total_fetched": 0,
+                 "frontier_size": int(n_seeds),
                  "format_version": STATE_FORMAT_VERSION},
                 f,
             )
@@ -701,8 +708,13 @@ class CrawlEngine:
             offset=int(prev["total_fetched"]),
             # last round's batch size is already in the commit record —
             # a cost-free estimate that keeps the boundary sample at
-            # ~40 keys/bucket however large the round batch grows
-            sample_mod=politeness.seq_sample_mod(int(prev.get("fetched", 0))),
+            # ~40 keys/bucket however large the round batch grows.  Round
+            # 1 (and a resumed stall round) has fetched == 0, exactly when
+            # the batch can be largest (the full seed list), so fall back
+            # to the committed frontier size — an upper bound on the
+            # batch, which errs on the sparse/memory-safe side.
+            est_batch_rows=int(prev.get("fetched", 0))
+            or int(prev.get("frontier_size", 0)),
         ).cache()
         caches.register(selected)
 

@@ -93,6 +93,18 @@ def test_round_commit_drains_cache_registry(engine_run):
     assert not caches.REGISTRY
 
 
+def test_seed_commit_records_frontier_size(engine_run):
+    """r05 review follow-up: round 1's fetch-sequence boundary sample
+    adapts to the previous round's batch size, and the round-0 record
+    has fetched == 0 — exactly when the batch can be largest (the full
+    seed list).  The seed commit must therefore carry frontier_size so
+    the fallback estimate is the seed count, not the dense default."""
+    eng, records = engine_run
+    rec0 = eng._read_commit(0)
+    assert rec0["fetched"] == 0
+    assert rec0["frontier_size"] == eng._read_frontier(0).count() > 0
+
+
 def test_crawl_ordering_matches_oracle(spark, world, oracle, engine_run):
     sim_log, _ = oracle
     eng, records = engine_run

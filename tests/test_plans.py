@@ -170,6 +170,35 @@ def test_seq_sample_mod_keeps_boundary_sample_bounded():
     assert 200_000_000 // mod <= 128 * 41
 
 
+def test_seq_sample_mod_uses_resolved_bucket_count(spark, frontier_df):
+    """r05 review follow-up: the ~40-keys/bucket target must be computed
+    against the bucket count global_fetch_sequence actually resolves
+    (min(defaultParallelism, cap)), not the 128 cap — on a 16-way
+    cluster the cap-based modulus oversamples every bucket 8x.  The
+    modulus is a plan literal, so the plan string is the ground truth
+    for what est_batch_rows produced."""
+    import re
+
+    from crawler_engine_spark.frontier import politeness
+    from crawler_engine_spark.frontier.politeness import (
+        DEFAULT_MAX_SEQ_BUCKETS,
+        seq_sample_mod,
+    )
+
+    resolved = min(
+        max(spark.sparkContext.defaultParallelism, 1), DEFAULT_MAX_SEQ_BUCKETS
+    )
+    est = 2_000_000_000
+    expected = seq_sample_mod(est, resolved)
+    with_budget = frontier_df.withColumn("host_budget", F.lit(3))
+    selected, _ = politeness.select_batch(with_budget, num_salts=4)
+    seq = politeness.global_fetch_sequence(selected, est_batch_rows=est)
+    mods = {
+        int(m) for m in re.findall(r"pmod\(url_hash#\d+L?, (\d+)\)", _plan(seq))
+    }
+    assert mods == {expected}, (mods, expected, resolved)
+
+
 def test_fetch_sequence_deterministic_under_drain(spark, frontier_df):
     """r05 review: offsets and row numbers must describe ONE layout under
     EVERY evaluation — including a plan derived from the result AFTER a
